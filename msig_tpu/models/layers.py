@@ -1,0 +1,157 @@
+"""Building-block layers: NHWC convs with torch-default initialization.
+
+All networks run in NHWC (TPU/MXU-native layout) with fp32 parameters and a
+configurable compute dtype. Initializers reproduce torch's defaults
+(kaiming-uniform(a=sqrt(5)) == U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for both
+kernel and bias) so that training dynamics are comparable to the reference,
+whose modules all use stock ``nn.Conv2d`` / ``nn.Linear`` / ``nn.ConvTranspose2d``
+inits (/root/reference/model.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def _uniform_init(bound: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+    return init
+
+
+def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
+    """U(-1/sqrt(fan_in), 1/sqrt(fan_in)); HWIO shape, fan_in = kh*kw*cin."""
+    kh, kw, cin, _ = shape
+    bound = 1.0 / math.sqrt(kh * kw * cin)
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def torch_dense_kernel_init(key, shape, dtype=jnp.float32):
+    """U(-1/sqrt(fan_in), 1/sqrt(fan_in)); (in, out) shape."""
+    cin, _ = shape
+    bound = 1.0 / math.sqrt(cin)
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+class TorchConv(nn.Module):
+    """2-D convolution with torch ``nn.Conv2d(k, s, p)`` semantics in NHWC.
+
+    ``padding`` is either an int (symmetric zero pad) or
+    ``((top, bottom), (left, right))``; ``pad_mode='reflect'`` reproduces
+    torch's ``padding_mode='reflect'`` (used by the generator's 7x7 convs,
+    reference model.py:131,141).
+    """
+
+    features: int
+    kernel_size: int
+    strides: int = 1
+    padding: int | Tuple[Tuple[int, int], Tuple[int, int]] = 0
+    pad_mode: str = "zeros"
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", torch_conv_kernel_init, (k, k, cin, self.features)
+        )
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = ((pad, pad), (pad, pad))
+        if self.pad_mode == "reflect" and any(p for pr in pad for p in pr):
+            x = jnp.pad(x, ((0, 0), pad[0], pad[1], (0, 0)), mode="reflect")
+            pad = ((0, 0), (0, 0))
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            window_strides=(self.strides, self.strides),
+            padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bound = 1.0 / math.sqrt(k * k * cin)
+            bias = self.param("bias", _uniform_init(bound), (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+class TorchConvTranspose(nn.Module):
+    """Transposed conv with torch ``nn.ConvTranspose2d(k, s, p)`` semantics.
+
+    Implemented as an input-dilated regular convolution: dilate the input by
+    the stride, pad by ``k - 1 - p`` per side, then a VALID conv — this gives
+    torch's output size ``(in-1)*s + k - 2p`` exactly (the generator's
+    upsampling stages use k=4, s=2, p=1 → exact 2x, reference model.py:139-140).
+
+    The stored kernel is HWIO for the *equivalent forward conv*. Importing a
+    torch ``ConvTranspose2d`` weight ``W[cin, cout, kh, kw]`` requires
+    ``kernel = flip(transpose(W, (2, 3, 0, 1)), axis=(0, 1))`` — see
+    tools/import_torch_checkpoint.py.
+    """
+
+    features: int
+    kernel_size: int
+    strides: int = 2
+    padding: int = 1
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = self.kernel_size
+        cin = x.shape[-1]
+
+        def kernel_init(key, shape, dtype=jnp.float32):
+            # torch convT fan_in = cout * kh * kw (weight dim 1 is cout)
+            bound = 1.0 / math.sqrt(self.features * k * k)
+            return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+        kernel = self.param("kernel", kernel_init, (k, k, cin, self.features))
+        p = k - 1 - self.padding
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            window_strides=(1, 1),
+            padding=((p, p), (p, p)),
+            lhs_dilation=(self.strides, self.strides),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bound = 1.0 / math.sqrt(self.features * k * k)
+            bias = self.param("bias", _uniform_init(bound), (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+class TorchDense(nn.Module):
+    """Linear layer with torch ``nn.Linear`` default init."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        kernel = self.param("kernel", torch_dense_kernel_init, (cin, self.features))
+        dtype = self.dtype or x.dtype
+        y = jnp.matmul(x.astype(dtype), kernel.astype(dtype))
+        if self.use_bias:
+            bound = 1.0 / math.sqrt(cin)
+            bias = self.param("bias", _uniform_init(bound), (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+def leaky_relu(x: jax.Array, negative_slope: float = 0.2) -> jax.Array:
+    return jnp.where(x >= 0, x, negative_slope * x)
