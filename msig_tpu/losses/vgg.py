@@ -1,0 +1,149 @@
+"""VGG19-prefix perceptual feature extractor + style/content losses.
+
+Reference-parity notes (/root/reference/losses.py):
+
+  - The reference's layer naming is idiosyncratic (losses.py:24-35): its
+    ``relu_1_1 … relu_5_1`` are VGG19's *first five ReLUs* — canonical
+    relu1_1, relu1_2, relu2_1, relu2_2, relu3_1 — and its content layer
+    ``relu_4_1`` is canonical relu2_2. Parity means matching the layers
+    actually used, NOT the Gatys-style names. Consequently only the first
+    five convs + two maxpools of VGG19 are ever needed; the reference
+    wastefully runs all 36 feature layers (losses.py:64-67) — here the
+    network simply ends after conv5, a large compute saving with identical
+    loss values.
+  - Style loss: L1 between batch-coupled Gram matrices at all five layers
+    (losses.py:80-89, Gram semantics in :mod:`msig_tpu.ops.gram`).
+  - Content loss: L1 on the 4th ReLU's features (losses.py:91-98).
+  - Input images are in [-1, 1]; they are shifted to [0, 1] then ImageNet-
+    normalized (losses.py:46-56).
+
+Weights: pretrained ImageNet weights are loaded from an .npz produced by
+``tools/convert_vgg_weights.py`` (run once in any environment that has
+torchvision). Without a weights file the extractor falls back to a
+*deterministic seeded random* VGG — losses remain well-defined and the whole
+pipeline runs, but perceptual quality then differs from the reference;
+the fallback is logged loudly.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from msig_tpu.ops.gram import gram_matrix
+
+# Channel plan of the required VGG19 prefix: conv index -> (cin, cout).
+# Canonical names: conv1_1, conv1_2, conv2_1, conv2_2, conv3_1.
+_VGG_PREFIX: List[Tuple[int, int]] = [(3, 64), (64, 64), (64, 128), (128, 128), (128, 256)]
+# Maxpool (2x2, stride 2) sits after ReLU of conv #2 and conv #4 (0-indexed 1 and 3).
+_POOL_AFTER = {1, 3}
+# Reference's content layer 'relu_4_1' == output of ReLU after conv #4 (0-indexed 3).
+_CONTENT_INDEX = 3
+
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+VGGParams = Dict[str, Dict[str, jax.Array]]
+
+
+def init_vgg_params(seed: int = 1234) -> VGGParams:
+    """Deterministic random-init fallback (torch conv default distribution)."""
+    key = jax.random.PRNGKey(seed)
+    params: VGGParams = {}
+    for i, (cin, cout) in enumerate(_VGG_PREFIX):
+        key, k1, k2 = jax.random.split(key, 3)
+        bound = 1.0 / math.sqrt(3 * 3 * cin)
+        params[f"conv{i}"] = {
+            "kernel": jax.random.uniform(k1, (3, 3, cin, cout), jnp.float32, -bound, bound),
+            "bias": jax.random.uniform(k2, (cout,), jnp.float32, -bound, bound),
+        }
+    return params
+
+
+def load_vgg_params(path: str) -> VGGParams:
+    """Load converted pretrained weights (see tools/convert_vgg_weights.py)."""
+    data = np.load(path)
+    params: VGGParams = {}
+    for i, (cin, cout) in enumerate(_VGG_PREFIX):
+        kernel = data[f"conv{i}_kernel"]
+        bias = data[f"conv{i}_bias"]
+        assert kernel.shape == (3, 3, cin, cout), (i, kernel.shape)
+        params[f"conv{i}"] = {
+            "kernel": jnp.asarray(kernel, jnp.float32),
+            "bias": jnp.asarray(bias, jnp.float32),
+        }
+    return params
+
+
+def get_vgg_params(path: Optional[str]) -> VGGParams:
+    if path:
+        return load_vgg_params(path)
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "No VGG19 weights file given — using a deterministic randomly-initialized "
+        "VGG for the perceptual loss. Convert pretrained weights with "
+        "tools/convert_vgg_weights.py for reference-parity perceptual quality."
+    )
+    return init_vgg_params()
+
+
+def _normalize_imagenet(x: jax.Array) -> jax.Array:
+    """[-1, 1] -> [0, 1] -> ImageNet normalization (losses.py:49-56)."""
+    x01 = (x.astype(jnp.float32) + 1.0) * 0.5
+    mean = jnp.asarray(_IMAGENET_MEAN)
+    std = jnp.asarray(_IMAGENET_STD)
+    return (x01 - mean) / std
+
+
+def _max_pool_2x2(x: jax.Array) -> jax.Array:
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+
+
+def vgg_features(params: VGGParams, img: jax.Array, upto: int = 5) -> List[jax.Array]:
+    """ReLU outputs of the first ``upto`` convs of VGG19 for a [-1,1] NHWC image."""
+    x = _normalize_imagenet(img)
+    feats: List[jax.Array] = []
+    for i in range(upto):
+        p = params[f"conv{i}"]
+        x = jax.lax.conv_general_dilated(
+            x, p["kernel"], (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + p["bias"]
+        x = jax.nn.relu(x)
+        feats.append(x)
+        if i in _POOL_AFTER and i + 1 < upto:
+            x = _max_pool_2x2(x)
+    return feats
+
+
+def style_content_loss(
+    params: VGGParams,
+    generated: jax.Array,
+    real_style: jax.Array,
+    real_content: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """(content_loss, style_loss) — semantics of reference losses.py:100-115.
+
+    Style: sum over the five layers of L1 between batch-coupled Grams of
+    (generated, real_style). Content: L1 between layer-4 features of
+    (generated, real_content).
+    """
+    gen_feats = vgg_features(params, generated, upto=5)
+    sty_feats = vgg_features(params, real_style, upto=5)
+    con_feats = vgg_features(params, real_content, upto=_CONTENT_INDEX + 1)
+
+    style_loss = jnp.asarray(0.0, jnp.float32)
+    for g, s in zip(gen_feats, sty_feats):
+        style_loss += jnp.mean(jnp.abs(gram_matrix(g) - gram_matrix(s)))
+
+    g4 = gen_feats[_CONTENT_INDEX].astype(jnp.float32)
+    c4 = con_feats[_CONTENT_INDEX].astype(jnp.float32)
+    content_loss = jnp.mean(jnp.abs(g4 - c4))
+    return content_loss, style_loss
