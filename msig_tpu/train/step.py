@@ -1,0 +1,143 @@
+"""The single fused train step: G update + EMA + D update in one jit.
+
+The reference runs ~14 eager forwards + 2 backwards per step across a
+G-phase, an EMA pass and a D-phase (/root/reference/trainer.py:74-155).
+Here the whole thing is ONE compiled XLA program:
+
+  - fakes are computed once inside the G-loss closure and reused (via aux)
+    for the D loss under ``stop_gradient`` — exactly reproducing torch's
+    ``fake.detach()`` semantics where D trains on fakes from the
+    *pre-update* generator (trainer.py:146-147);
+  - the G loss differentiates jointly over {G_A2B, G_B2A, SE_A, SE_B}
+    (one optimizer group, trainer.py:56-58) and the D loss over
+    {D_A, D_B} (trainer.py:60-61), with grad-clip 1.0 before Adam;
+  - EMA (beta=0.995) updates the four G/SE EMA copies right after the G
+    update (trainer.py:131-134, utils.py:80-91);
+  - learning rates and the 5 dynamic loss weights enter as scalar/vector
+    array inputs, so per-epoch schedule changes never recompile.
+
+Loss-term math matches trainer.py:91-153 term by term; see
+tests/test_train_step.py for the parity checks.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from msig_tpu.losses import l1_loss, lsgan_fake, lsgan_real, style_content_loss
+from msig_tpu.train.schedule import WEIGHT_KEYS
+from msig_tpu.train.state import Models, TrainState
+
+Batch = Dict[str, jax.Array]
+
+
+def prepare_images(x: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """uint8 [B,H,W,3] -> [-1,1] float; float inputs pass through (cast only)."""
+    if x.dtype == jnp.uint8:
+        return (x.astype(dtype) / 127.5) - 1.0
+    return x.astype(dtype)
+
+
+def make_train_step(models: Models, tx_g, tx_d, ema_beta: float, compute_dtype=jnp.float32):
+    """Build the fused step. Returns fn(state, batch, vgg_params, g_lr, d_lr, w)."""
+
+    gen = models.generator
+    se = models.style_encoder
+    disc = models.discriminator
+
+    def train_step(
+        state: TrainState,
+        batch: Batch,
+        vgg_params: Any,
+        g_lr: jax.Array,
+        d_lr: jax.Array,
+        loss_weights: jax.Array,  # [5] in WEIGHT_KEYS order
+    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        real_A = prepare_images(batch["source"], compute_dtype)
+        real_B = prepare_images(batch["target"], compute_dtype)
+        y_org = batch["source_domain"].astype(jnp.int32)
+        y_trg = batch["target_domain"].astype(jnp.int32)
+        disc_params = state.disc_params
+
+        # ---------------- Generator phase ----------------
+        def g_loss_fn(gen_params):
+            style_A = se.apply(gen_params["SE_A"], real_A, y_org)
+            style_B = se.apply(gen_params["SE_B"], real_B, y_trg)
+
+            id_B = gen.apply(gen_params["G_A2B"], real_B, style_B)
+            loss_identity = l1_loss(id_B, real_B)
+
+            fake_B = gen.apply(gen_params["G_A2B"], real_A, style_B)
+            loss_gan_A2B = lsgan_real(disc.apply(disc_params["D_B"], fake_B, y_trg))
+            content_B, style_loss_B = style_content_loss(vgg_params, fake_B, real_B, real_A)
+
+            fake_A = gen.apply(gen_params["G_B2A"], real_B, style_A)
+            loss_gan_B2A = lsgan_real(disc.apply(disc_params["D_A"], fake_A, y_org))
+            content_A, style_loss_A = style_content_loss(vgg_params, fake_A, real_A, real_B)
+
+            loss_gan = (loss_gan_A2B + loss_gan_B2A) / 2
+            loss_style = (style_loss_A + style_loss_B) / 2
+            loss_content = (content_A + content_B) / 2
+
+            cyc_A = gen.apply(gen_params["G_B2A"], fake_B, style_A)
+            cyc_B = gen.apply(gen_params["G_A2B"], fake_A, style_B)
+            loss_cycle = (l1_loss(cyc_A, real_A) + l1_loss(cyc_B, real_B)) / 2
+
+            individual = {
+                "gan": loss_gan,
+                "cycle": loss_cycle,
+                "identity": loss_identity,
+                "content": loss_content,
+                "style": loss_style,
+            }
+            w = {k: loss_weights[i] for i, k in enumerate(WEIGHT_KEYS)}
+            g_loss = sum(individual[k] * w[k] for k in WEIGHT_KEYS)
+            return g_loss, (individual, fake_A, fake_B)
+
+        (g_loss, (individual, fake_A, fake_B)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(state.gen_params)
+
+        g_updates, opt_g = tx_g.update(g_grads, state.opt_g, state.gen_params)
+        g_updates = jax.tree.map(lambda u: -g_lr * u, g_updates)
+        gen_params = optax.apply_updates(state.gen_params, g_updates)
+
+        # ---------------- EMA (after G update, reference trainer.py:131-134) ---
+        ema_params = jax.tree.map(
+            lambda e, p: e * ema_beta + (1.0 - ema_beta) * p,
+            state.ema_params,
+            gen_params,
+        )
+
+        # ---------------- Discriminator phase ----------------
+        fake_A_sg = jax.lax.stop_gradient(fake_A)
+        fake_B_sg = jax.lax.stop_gradient(fake_B)
+
+        def d_loss_fn(d_params):
+            loss_real_A = lsgan_real(disc.apply(d_params["D_A"], real_A, y_org))
+            loss_real_B = lsgan_real(disc.apply(d_params["D_B"], real_B, y_trg))
+            loss_fake_A = lsgan_fake(disc.apply(d_params["D_A"], fake_A_sg, y_org))
+            loss_fake_B = lsgan_fake(disc.apply(d_params["D_B"], fake_B_sg, y_trg))
+            return (loss_real_A + loss_fake_A + loss_real_B + loss_fake_B) / 2
+
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.disc_params)
+        d_updates, opt_d = tx_d.update(d_grads, state.opt_d, state.disc_params)
+        d_updates = jax.tree.map(lambda u: -d_lr * u, d_updates)
+        disc_params = optax.apply_updates(state.disc_params, d_updates)
+
+        new_state = TrainState(
+            gen_params=gen_params,
+            disc_params=disc_params,
+            ema_params=ema_params,
+            opt_g=opt_g,
+            opt_d=opt_d,
+            step=state.step + 1,
+        )
+        metrics = {"D_loss": d_loss, "G_loss": g_loss, **individual}
+        return new_state, metrics
+
+    return train_step
