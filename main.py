@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Training CLI — flag-parity with the reference entry point.
+
+Usage (same flags as /root/reference/main.py:100-147):
+
+    python main.py --source_dir data/src/Tomato_healthy --target_dir data/ref \\
+        [--epochs N] [--batch_size B] [--image_size S] [--lr_g F] [--lr_d F] \\
+        [--loss_weights '{"gan":1.0,...}'] [--exp_name NAME] [--resume DIR] \\
+        [--save_freq K] [--use_ema true] [--wandb] [--gpu N]
+
+TPU-build extras: --compute_dtype, --vgg_weights, --seed, --no_data_parallel.
+"""
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+import msig_tpu.config as default_config
+from msig_tpu.config import TrainConfig
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Train Multi-Domain StyleCycleGAN (TPU-native) with custom configurations."
+    )
+    # --- Path Arguments ---
+    parser.add_argument("--source_dir", type=str, default=default_config.SOURCE_DIR,
+                        help="Path to source domain directory")
+    parser.add_argument("--target_dir", type=str, default=default_config.TARGET_DIR,
+                        help="Path to parent directory containing target domain subdirectories")
+    parser.add_argument("--save_dir_base", type=str, default=default_config.SAVE_DIR_BASE,
+                        help="Base directory for saving results")
+    parser.add_argument("--resume", type=str, default=default_config.RESUME_CHECKPOINT,
+                        help="Path to the checkpoint directory to resume training from")
+    # --- Experiment Arguments ---
+    parser.add_argument("--exp_name", type=str,
+                        help="Experiment name. If not provided, it will be auto-generated.")
+    parser.add_argument("--gpu", type=int, default=default_config.GPU,
+                        help="Accepted for reference CLI parity; device selection is automatic on TPU.")
+    # --- Training Hyperparameters ---
+    parser.add_argument("--epochs", type=int, default=default_config.NUM_EPOCHS)
+    parser.add_argument("--image_size", type=int, default=default_config.IMAGE_SIZE)
+    parser.add_argument("--batch_size", type=int, default=default_config.BATCH_SIZE)
+    parser.add_argument("--save_freq", type=int, default=default_config.SAVE_FREQ)
+    parser.add_argument("--lr_g", type=float, default=default_config.LEARNING_RATE_G)
+    parser.add_argument("--lr_d", type=float, default=default_config.LEARNING_RATE_D)
+    parser.add_argument("--loss_weights", type=str,
+                        default=json.dumps(default_config.LOSS_WEIGHTS),
+                        help="Loss weights as a JSON string.")
+    parser.add_argument("--use_ema", type=lambda s: s.lower() not in ("0", "false", "no"),
+                        default=default_config.TRAINING_USE_EMA,
+                        help="Use EMA models for saving samples during training.")
+    # --- W&B Logging ---
+    parser.add_argument("--wandb", action="store_true", help="Enable Weights & Biases logging.")
+    # --- TPU-build extras ---
+    parser.add_argument("--compute_dtype", type=str, default=default_config.COMPUTE_DTYPE_TRAIN,
+                        choices=["float32", "bfloat16"])
+    parser.add_argument("--vgg_weights", type=str, default=default_config.VGG_WEIGHTS_PATH,
+                        help=".npz from tools/convert_vgg_weights.py (perceptual-loss weights)")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--no_data_parallel", action="store_true",
+                        help="Disable sharding the batch over local devices")
+    parser.add_argument("--no_pallas", action="store_true",
+                        help="Disable the fused Pallas AdaIN kernel (use pure XLA)")
+    return parser
+
+
+def config_from_args(args) -> TrainConfig:
+    return TrainConfig(
+        source_dir=args.source_dir,
+        target_dir=args.target_dir,
+        save_dir_base=args.save_dir_base,
+        resume=args.resume,
+        exp_name=args.exp_name,
+        gpu=args.gpu,
+        epochs=args.epochs,
+        image_size=args.image_size,
+        batch_size=args.batch_size,
+        save_freq=args.save_freq,
+        lr_g=args.lr_g,
+        lr_d=args.lr_d,
+        loss_weights=TrainConfig.parse_loss_weights(args.loss_weights),
+        use_ema=args.use_ema,
+        wandb=args.wandb,
+        compute_dtype=args.compute_dtype,
+        vgg_weights_path=args.vgg_weights,
+        seed=args.seed,
+        data_parallel=not args.no_data_parallel,
+        use_pallas=not args.no_pallas,
+    )
+
+
+def main(cfg: TrainConfig) -> int:
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
+    from msig_tpu.data import MultiDomainDataset
+    from msig_tpu.train.trainer import Trainer
+
+    wandb_run = None
+    if cfg.wandb:
+        import wandb
+
+        wandb_run = wandb.init(
+            project="Multi-Domain Style-Injected CycleGAN",
+            name=cfg.experiment_name,
+            config={k: v for k, v in vars(cfg).items()},
+        )
+
+    print(f"--- Starting Multi-Domain Experiment: {cfg.experiment_name} ---")
+
+    for path, what in ((cfg.source_dir, "Source"), (cfg.target_dir, "Target domains")):
+        if not os.path.exists(path):
+            print(f"ERROR: {what} directory not found: {path}")
+            return 1
+
+    dataset = MultiDomainDataset.build(cfg.source_dir, cfg.target_dir)
+    print(f"Found {len(dataset.source_files)} source images")
+    print("\n" + "=" * 60)
+    print("MULTI-DOMAIN DATASET STATISTICS")
+    print("=" * 60)
+    print(f"Total domains: {dataset.num_domains}")
+    print(f"Source domain: {dataset.domains[0]} (index 0)")
+    print(f"Target domains: {dataset.num_target_domains}")
+    for i, name in enumerate(dataset.domains):
+        n = (len(dataset.source_files) if i == 0
+             else len(dataset.target_files_by_domain[name]))
+        print(f"  • Domain {i}: {name} - {n} images")
+    print("=" * 60 + "\n")
+
+    trainer = Trainer(cfg, dataset, wandb_run=wandb_run)
+
+    start_epoch = 0
+    if cfg.resume:
+        print(f"Attempting to resume from checkpoint: {cfg.resume}")
+        start_epoch = trainer.resume(cfg.resume)
+        print(f"Resuming training from epoch {start_epoch + 1}")
+
+    print("Starting multi-domain training...")
+    try:
+        trainer.train(start_epoch=start_epoch)
+    except Exception as e:
+        print(f"An error occurred during training: {e}")
+        import traceback
+
+        traceback.print_exc()
+        return 1
+    finally:
+        if wandb_run is not None:
+            wandb_run.finish()
+
+    print(f"--- Multi-Domain Experiment {cfg.experiment_name} Completed ---")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(config_from_args(build_arg_parser().parse_args())))

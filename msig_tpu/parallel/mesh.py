@@ -1,0 +1,95 @@
+"""Device mesh + GSPMD data parallelism over ICI/DCN.
+
+The reference is strictly single-device (/root/reference/main.py:30-35; no
+torch.distributed anywhere). The TPU build scales with the idiomatic JAX
+recipe instead of translating anything: a 1-D ``Mesh(('data',))`` over all
+devices, batches sharded on the leading axis, parameters/optimizer state
+replicated, and XLA emitting the gradient all-reduce over ICI on its own.
+Multi-host (DCN) uses the exact same program after
+``jax.distributed.initialize`` — GSPMD makes the mesh span hosts.
+
+No tensor/pipeline/sequence parallelism is built: every network here is
+well under ICI-worthwhile size (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """1-D data-parallel mesh over the given (default: all) devices."""
+    import numpy as np
+
+    devs = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devs, (DATA_AXIS,))
+
+
+def data_mesh_for_batch(batch_size: int) -> Optional[Mesh]:
+    """Mesh over the most devices that evenly divide ``batch_size`` (None if 1)."""
+    devs = jax.devices()
+    k = len(devs)
+    while k > 1 and batch_size % k != 0:
+        k -= 1
+    return make_mesh(devs[:k]) if k > 1 else None
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding for image/label arrays."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch dict onto the mesh, sharded along axis 0."""
+    s = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    """Fully replicate a pytree (params, optimizer state) across the mesh."""
+    r = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, r), tree)
+
+
+def jit_train_step(train_step, mesh: Optional[Mesh]):
+    """Compile the fused step, data-parallel over ``mesh`` when given.
+
+    State/VGG/scalars replicated, batch split on the data axis; gradient
+    all-reduces are inserted by XLA (GSPMD). The state buffers are donated —
+    the optimizer update happens in-place in HBM.
+    """
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+    repl = replicated(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(
+            repl,  # state
+            {"source": data, "target": data, "source_domain": data, "target_domain": data},
+            repl,  # vgg params
+            repl,  # g_lr
+            repl,  # d_lr
+            repl,  # loss weights
+        ),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def initialize_multihost() -> None:
+    """Multi-host DCN init (no-op when single-process)."""
+    if jax.process_count() == 1:
+        try:
+            jax.distributed.initialize()
+        except Exception:  # already initialized or single-host CLI run
+            pass

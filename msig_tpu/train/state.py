@@ -97,7 +97,9 @@ def create_train_state(cfg: TrainConfig, models: Models, rng: jax.Array) -> Trai
         "D_A": models.discriminator.init(keys[4], img, idx),
         "D_B": models.discriminator.init(keys[5], img, idx),
     }
-    ema_params = jax.tree.map(lambda x: x, gen_params)  # deep copy at t=0
+    # Real buffer copy (aliasing gen_params would break donation: the same
+    # buffer would be donated twice in the fused step).
+    ema_params = jax.tree.map(jnp.copy, gen_params)
 
     tx_g, tx_d = make_optimizers(cfg)
     return TrainState(

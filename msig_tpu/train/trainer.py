@@ -1,0 +1,233 @@
+"""The training runtime: epoch loop, logging, grids, checkpoints.
+
+Orchestrates the fused jit step over the data pipeline with the same
+observable behavior as the reference loop
+(/root/reference/trainer.py:276-360):
+
+  - shuffled batches, ``drop_last`` (trainer.py:287-290);
+  - per-step loss logging + optional wandb with the same key names
+    (``loss/*``, ``avg_loss/*``, ``lr/generator``, ``lr/discriminator``,
+    ``weight/*``; trainer.py:308-346);
+  - an EMA 2x2 sample grid [Real A, Fake B, Real B, Fake A] every
+    ``save_freq`` batches (trainer.py:313-332);
+  - per-epoch loss averages into ``loss_history``, loss/weight plots,
+    checkpoints every 10 epochs and at the end (trainer.py:334-358);
+  - the dynamic weight scheduler is evaluated per step with the epoch index
+    (trainer.py:122) so its histories are per-step, like the reference's.
+
+TPU-specific: metrics stay on device during the epoch (no per-step ``.item()``
+sync — the reference does 7+ of them, trainer.py:305-311, stalling the
+pipeline); they are fetched in one transfer at epoch end unless per-step
+wandb logging is enabled.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from msig_tpu.config import TrainConfig
+from msig_tpu.data import MultiDomainDataset, TrainLoader
+from msig_tpu.losses import get_vgg_params
+from msig_tpu.parallel import jit_train_step, replicate, shard_batch
+from msig_tpu.parallel.mesh import data_mesh_for_batch
+from msig_tpu.train.checkpoint import resume_for_training, save_checkpoint
+from msig_tpu.train.schedule import (
+    WEIGHT_KEYS,
+    cosine_lr,
+    current_loss_weights,
+    weights_vector,
+)
+from msig_tpu.train.state import Models, TrainState, create_train_state, make_optimizers
+from msig_tpu.train.step import make_train_step, prepare_images
+from msig_tpu.utils import plot_losses, plot_weight_history, save_sample_grid
+
+logger = logging.getLogger(__name__)
+
+METRIC_KEYS = ["D_loss", "G_loss"] + WEIGHT_KEYS
+
+
+class Trainer:
+    """Owns state + compiled step + pipeline; replaces the reference's
+    ``MultiDomainStyleCycleGAN`` + ``train_multi_domain_style_cyclegan`` pair."""
+
+    def __init__(
+        self,
+        cfg: TrainConfig,
+        dataset: MultiDomainDataset,
+        wandb_run=None,
+    ):
+        self.cfg = cfg
+        self.dataset = dataset
+        self.wandb = wandb_run
+        self.num_domains = dataset.num_domains
+
+        dtype = jnp.dtype(cfg.compute_dtype)
+        self.models = Models.from_config(cfg, self.num_domains, dtype=dtype)
+        self.state = create_train_state(cfg, self.models, jax.random.PRNGKey(cfg.seed))
+        self.vgg_params = get_vgg_params(cfg.vgg_weights_path)
+
+        self.mesh = data_mesh_for_batch(cfg.batch_size) if cfg.data_parallel else None
+        if self.mesh is not None:
+            self.state = replicate(self.mesh, self.state)
+            self.vgg_params = replicate(self.mesh, self.vgg_params)
+        tx_g, tx_d = make_optimizers(cfg)
+        self.train_step = jit_train_step(
+            make_train_step(self.models, tx_g, tx_d, cfg.ema_beta, dtype), self.mesh
+        )
+        self._eval_fn = jax.jit(self._make_eval_fn())
+
+        self.loader = TrainLoader(
+            dataset,
+            cfg.batch_size,
+            cfg.image_size,
+            seed=cfg.seed,
+            device_put=(lambda b: shard_batch(self.mesh, b)) if self.mesh else None,
+        )
+
+        # Histories (reference trainer.py:71-72, utils.py:107-108)
+        self.loss_history: Dict[str, List[float]] = {k: [] for k in METRIC_KEYS}
+        self.weight_history: Dict[str, List[float]] = {k: [] for k in WEIGHT_KEYS}
+
+        self.save_dir = os.path.join(cfg.save_dir_base, cfg.experiment_name)
+        self.images_dir = os.path.join(self.save_dir, "images")
+        self.checkpoints_dir = os.path.join(self.save_dir, "checkpoints")
+
+    # ------------------------------------------------------------------
+    def _make_eval_fn(self):
+        """EMA 2x2 grid forward (reference trainer.py:219-239)."""
+        gen, se = self.models.generator, self.models.style_encoder
+
+        def eval_fn(ema_params, real_A, real_B, y_org, y_trg):
+            real_A = prepare_images(real_A)
+            real_B = prepare_images(real_B)
+            style_A = se.apply(ema_params["SE_A"], real_A, y_org)
+            style_B = se.apply(ema_params["SE_B"], real_B, y_trg)
+            fake_B = gen.apply(ema_params["G_A2B"], real_A, style_B)
+            fake_A = gen.apply(ema_params["G_B2A"], real_B, style_A)
+            return jnp.concatenate([real_A, fake_B, real_B, fake_A], axis=0)
+
+        return eval_fn
+
+    def _save_grid(self, batch, epoch: int, batch_idx: int) -> None:
+        first = {k: np.asarray(jax.device_get(v))[0:1] for k, v in batch.items()}
+        real_A = prepare_images(jnp.asarray(first["source"]))
+        real_B = prepare_images(jnp.asarray(first["target"]))
+        ema = jax.device_get(self.state.ema_params)
+        grid = self._eval_fn(
+            ema,
+            real_A,
+            real_B,
+            jnp.asarray(first["source_domain"]),
+            jnp.asarray(first["target_domain"]),
+        )
+        target_idx = int(first["target_domain"][0])
+        domains = self.dataset.domains
+        domain_name = domains[target_idx] if target_idx < len(domains) else f"Domain_{target_idx}"
+        labels = [
+            f"Real A ({domains[0]})",
+            f"Fake B ({domain_name})",
+            f"Real B ({domain_name})",
+            f"Fake A ({domains[0]})",
+        ]
+        path = os.path.join(
+            self.images_dir, f"epoch_{epoch + 1:03d}_batch_{batch_idx:04d}_{domain_name}.png"
+        )
+        save_sample_grid(np.asarray(grid), path, nrow=2, domain_names=labels)
+
+    # ------------------------------------------------------------------
+    def resume(self, checkpoint_dir: str) -> int:
+        """Restore full state; returns start epoch (0 when unavailable)."""
+        self.state, loss_history, start_epoch = resume_for_training(
+            checkpoint_dir, self.state, self.num_domains
+        )
+        if loss_history:
+            for k, v in loss_history.items():
+                if k in self.loss_history:
+                    self.loss_history[k] = list(v)
+        if self.mesh is not None:
+            self.state = replicate(self.mesh, self.state)
+        return start_epoch
+
+    def save(self, checkpoint_dir: str) -> None:
+        meta = {
+            "num_domains": self.num_domains,
+            "domains": self.dataset.domains,
+            "loss_history": self.loss_history,
+            "image_size": self.cfg.image_size,
+            "style_dim": self.cfg.style_dim,
+            "n_residual_blocks": self.cfg.n_residual_blocks,
+            "step": int(jax.device_get(self.state.step)),
+        }
+        save_checkpoint(checkpoint_dir, self.state, meta)
+
+    # ------------------------------------------------------------------
+    def train(self, start_epoch: int = 0) -> None:
+        cfg = self.cfg
+        os.makedirs(self.images_dir, exist_ok=True)
+        os.makedirs(self.checkpoints_dir, exist_ok=True)
+        steps = self.loader.steps_per_epoch()
+        logger.info(
+            "Training %d epochs x %d steps, batch %d, %d domains, devices=%d",
+            cfg.epochs, steps, cfg.batch_size, self.num_domains, len(jax.devices()),
+        )
+
+        for epoch in range(start_epoch, cfg.epochs):
+            g_lr = jnp.float32(cosine_lr(cfg.lr_g, epoch, cfg.epochs, cfg.lr_eta_min))
+            d_lr = jnp.float32(cosine_lr(cfg.lr_d, epoch, cfg.epochs, cfg.lr_eta_min))
+            weights = current_loss_weights(
+                cfg.loss_weights, epoch, cfg.warmup_epochs, cfg.decay_epochs
+            )
+            w_vec = jnp.asarray(weights_vector(weights), jnp.float32)
+
+            epoch_metrics: List[Dict] = []
+            t0 = time.time()
+            for i, batch in enumerate(self.loader.epoch(epoch)):
+                self.state, metrics = self.train_step(
+                    self.state, batch, self.vgg_params, g_lr, d_lr, w_vec
+                )
+                epoch_metrics.append(metrics)
+                # weight history is per-step, like the reference (trainer.py:122)
+                for k in WEIGHT_KEYS:
+                    self.weight_history[k].append(weights[k])
+                if self.wandb is not None:
+                    vals = jax.device_get(metrics)
+                    self.wandb.log({f"loss/{k}": float(v) for k, v in vals.items()})
+                if i % cfg.save_freq == 0:
+                    self._save_grid(batch, epoch, i)
+
+            # One device->host transfer for the whole epoch's metrics
+            host = jax.device_get(epoch_metrics)
+            avg = {k: float(np.mean([m[k] for m in host])) for k in METRIC_KEYS} if host else {}
+            for k, v in avg.items():
+                self.loss_history[k].append(v)
+            dt = time.time() - t0
+            logger.info(
+                "epoch %d/%d  %.1fs (%.1f ms/step)  %s",
+                epoch + 1, cfg.epochs, dt, 1000 * dt / max(1, steps),
+                "  ".join(f"{k}={v:.3f}" for k, v in avg.items()),
+            )
+
+            if self.wandb is not None:
+                logs = {"epoch": epoch + 1}
+                logs.update({f"avg_loss/{k}": v for k, v in avg.items()})
+                logs["lr/generator"] = float(g_lr)
+                logs["lr/discriminator"] = float(d_lr)
+                logs.update({f"weight/{k}": weights[k] for k in WEIGHT_KEYS})
+                self.wandb.log(logs)
+
+            plot_losses(self.loss_history, os.path.join(self.save_dir, "losses.png"))
+            plot_weight_history(
+                self.weight_history, os.path.join(self.save_dir, "weight_history.png")
+            )
+
+            if (epoch + 1) % cfg.checkpoint_every == 0 or (epoch + 1) == cfg.epochs:
+                self.save(os.path.join(self.checkpoints_dir, f"epoch_{epoch + 1}"))
+
+        logger.info("Multi-domain training completed!")
