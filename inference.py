@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""Inference CLI — flag-parity with the reference entry point.
+
+Usage (same flags as /root/reference/inference.py:317-355, plus --batch_size):
+
+    python inference.py --input_dir IN --ref_domains_dir REF \\
+        --checkpoint_dir CKPT --output_dir OUT --target_domain NAME \\
+        [--style_mode average|random|interpolate|noise|specific] \\
+        [--noise_level F] [--max_styles N] [--image_size S] [--style_dim D] \\
+        [--batch_size B] [--save_grid] [--gpu N]
+
+Behavior parity: domain discovery identical to training (sorted subdirs,
+source=0), EMA-preferred checkpoint loading with raw fallback, per-image
+output files named after the inputs, exit code 0 iff at least one image was
+processed, quiet mode when stdout is redirected.
+"""
+
+import argparse
+import logging
+import os
+import sys
+
+import msig_tpu.config as default_config
+from msig_tpu.config import InferenceConfig
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Multi-domain inference with style sampling")
+    # Paths
+    parser.add_argument("--input_dir", type=str, default=default_config.INFERENCE_INPUT_DIR,
+                        help="Directory containing source images")
+    parser.add_argument("--ref_domains_dir", type=str,
+                        default=default_config.INFERENCE_TARGET_DOMAINS_DIR,
+                        help="Directory containing all reference domain folders")
+    parser.add_argument("--checkpoint_dir", type=str,
+                        default=default_config.INFERENCE_CHECKPOINT_DIR,
+                        help="Directory containing model checkpoint")
+    parser.add_argument("--output_dir", type=str, default=default_config.INFERENCE_OUTPUT_DIR,
+                        help="Directory to save output images")
+    # Domain selection
+    parser.add_argument("--target_domain", type=str,
+                        default=default_config.INFERENCE_TARGET_DOMAIN,
+                        help="Name of target domain folder to translate to")
+    # Model parameters
+    parser.add_argument("--gpu", type=int, default=default_config.GPU,
+                        help="Accepted for reference CLI parity; device selection is automatic on TPU")
+    parser.add_argument("--image_size", type=int, default=default_config.IMAGE_SIZE)
+    parser.add_argument("--style_dim", type=int, default=default_config.STYLE_DIM,
+                        help="Dimension of style code")
+    # Style sampling
+    parser.add_argument("--style_mode", type=str, default=default_config.INFERENCE_STYLE_MODE,
+                        choices=["average", "random", "interpolate", "noise", "specific"],
+                        help="Style sampling mode")
+    parser.add_argument("--noise_level", type=float,
+                        default=default_config.INFERENCE_NOISE_LEVEL,
+                        help="Noise level for noise mode")
+    parser.add_argument("--max_styles", type=int, default=None,
+                        help="Maximum number of style vectors to load (None for all)")
+    # Options
+    parser.add_argument("--save_grid", action="store_true",
+                        help="Save comparison grid of different style modes")
+    # TPU-build extras
+    parser.add_argument("--batch_size", type=int, default=default_config.INFERENCE_BATCH_SIZE,
+                        help="Generation batch size (the reference loops 1-by-1)")
+    parser.add_argument("--compute_dtype", type=str, default=default_config.COMPUTE_DTYPE_INFER,
+                        choices=["float32", "bfloat16"])
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--no_pallas", action="store_true")
+    return parser
+
+
+def config_from_args(args) -> InferenceConfig:
+    return InferenceConfig(
+        input_dir=args.input_dir,
+        ref_domains_dir=args.ref_domains_dir,
+        checkpoint_dir=args.checkpoint_dir,
+        output_dir=args.output_dir,
+        target_domain=args.target_domain,
+        gpu=args.gpu,
+        image_size=args.image_size,
+        style_dim=args.style_dim,
+        style_mode=args.style_mode,
+        noise_level=args.noise_level,
+        max_styles=args.max_styles,
+        save_grid=args.save_grid,
+        batch_size=args.batch_size,
+        compute_dtype=args.compute_dtype,
+        seed=args.seed,
+        use_pallas=not args.no_pallas,
+    )
+
+
+def main(cfg: InferenceConfig) -> int:
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
+    is_redirected = not os.isatty(1)  # quiet when stdout is redirected
+
+    def say(msg):
+        if not is_redirected:
+            print(msg)
+
+    say(f"Starting inference with target domain: {cfg.target_domain}")
+    say(f"Input directory: {cfg.input_dir}")
+    say(f"Reference domains directory: {cfg.ref_domains_dir}")
+    say(f"Checkpoint directory: {cfg.checkpoint_dir}")
+    say(f"Output directory: {cfg.output_dir}")
+
+    from msig_tpu.data import discover_inference_domains
+    from msig_tpu.infer import InferenceEngine
+    from msig_tpu.infer.loading import load_inference_params
+    from msig_tpu.utils import save_image, save_sample_grid
+
+    # Discover domains (source is 0, targets from 1 — must match training)
+    try:
+        domain_dirs = discover_inference_domains(cfg.ref_domains_dir)
+    except ValueError as e:
+        print(f"Failed to discover domains: {e}")
+        return 1
+    if not domain_dirs:
+        raise ValueError(f"No domains found in {cfg.ref_domains_dir}")
+    num_domains = len(domain_dirs) + 1
+    say(f"Found {len(domain_dirs)} target domains: {domain_dirs}")
+
+    if cfg.target_domain not in domain_dirs:
+        raise ValueError(
+            f"Target domain '{cfg.target_domain}' not found. Available: {domain_dirs}"
+        )
+    target_idx = domain_dirs.index(cfg.target_domain) + 1
+    say(f"Target domain: {cfg.target_domain} (index: {target_idx})")
+
+    # Load model (EMA preferred, raw fallback)
+    try:
+        gen_params, se_params, meta, used_ema = load_inference_params(
+            cfg.checkpoint_dir, cfg, num_domains
+        )
+        say(f"Model loaded successfully ({'EMA' if used_ema else 'raw'} weights)")
+    except Exception as e:
+        print(f"Failed to load model: {e}")
+        import traceback
+
+        traceback.print_exc()
+        return 1
+
+    engine = InferenceEngine.build(
+        cfg,
+        num_domains,
+        gen_params,
+        se_params,
+        n_residual_blocks=meta.get("n_residual_blocks"),
+        style_dim=meta.get("style_dim"),
+    )
+
+    # Preload style bank
+    try:
+        bank = engine.preload_style_bank(
+            os.path.join(cfg.ref_domains_dir, cfg.target_domain),
+            target_idx,
+            max_styles=cfg.max_styles,
+            seed=cfg.seed,
+        )
+        say(f"Style vectors loaded successfully ({bank.shape[0]})")
+    except Exception as e:
+        print(f"Failed to load style vectors: {e}")
+        import traceback
+
+        traceback.print_exc()
+        return 1
+
+    os.makedirs(cfg.output_dir, exist_ok=True)
+
+    processed, failed = 0, 0
+    batches = engine.iter_input_batches(cfg.input_dir)
+    say(f"Processing images with style mode: {cfg.style_mode}")
+    for out, names in engine.translate_batches(
+        batches, bank, cfg.style_mode, cfg.noise_level, cfg.seed
+    ):
+        for img, name in zip(out, names):
+            try:
+                save_image(img, os.path.join(cfg.output_dir, name))
+                processed += 1
+            except Exception as e:
+                print(f"Error processing {name}: {e}")
+                failed += 1
+
+    if processed == 0:
+        print(f"WARNING: No images found in {cfg.input_dir}")
+        return 1
+
+    say("\nInference complete!")
+    say(f"Successfully processed: {processed} images")
+    say(f"Failed: {failed} images")
+    say(f"Results saved to: {cfg.output_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(config_from_args(build_arg_parser().parse_args())))

@@ -1,0 +1,169 @@
+"""Batched jit-compiled inference engine (reference-guided synthesis).
+
+The reference's inference loop processes ONE image at a time in eager mode
+(/root/reference/inference.py:273-305) — that per-image Python loop is the
+throughput gap the TPU build closes. This engine:
+
+  - preloads the style bank with ONE batched style-encoder forward over all
+    reference images (vs a Python loop of single-image forwards,
+    inference.py:107-123);
+  - runs generation in fixed-size batches under one jit (style sampling
+    fused in), convs in bfloat16 on the MXU, donated input buffers;
+  - pads the final partial batch to keep shapes static, then drops the
+    padding on the host;
+  - overlaps host JPEG decode (thread pool) with device compute.
+
+Checkpoint loading prefers EMA weights with raw-weight fallback
+(inference.py:46-72) via :func:`msig_tpu.train.checkpoint.load_for_inference`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from msig_tpu.config import InferenceConfig
+from msig_tpu.data import list_image_files
+from msig_tpu.data.pipeline import load_inference_image
+from msig_tpu.infer.styles import sample_styles
+from msig_tpu.models import MultiDomainStyleEncoder, StyleCycleGANGenerator
+from msig_tpu.train.step import prepare_images
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class InferenceEngine:
+    generator: StyleCycleGANGenerator
+    style_encoder: MultiDomainStyleEncoder
+    gen_params: Dict
+    se_params: Dict
+    image_size: int
+    batch_size: int
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @staticmethod
+    def build(
+        cfg: InferenceConfig,
+        num_domains: int,
+        gen_params: Dict,
+        se_params: Dict,
+        n_residual_blocks: Optional[int] = None,
+        style_dim: Optional[int] = None,
+    ) -> "InferenceEngine":
+        dtype = jnp.dtype(cfg.compute_dtype)
+        gen = StyleCycleGANGenerator(
+            style_dim=style_dim or cfg.style_dim,
+            n_residual_blocks=n_residual_blocks or cfg.n_residual_blocks,
+            dtype=dtype,
+            use_pallas=cfg.use_pallas,
+        )
+        se = MultiDomainStyleEncoder(
+            style_dim=style_dim or cfg.style_dim, num_domains=num_domains, dtype=dtype
+        )
+        return InferenceEngine(
+            generator=gen,
+            style_encoder=se,
+            gen_params=gen_params,
+            se_params=se_params,
+            image_size=cfg.image_size,
+            batch_size=cfg.batch_size,
+            compute_dtype=dtype,
+        )
+
+    # ------------------------------------------------------------------
+    def encode_styles(self, images_u8: np.ndarray, domain_idx: int) -> jax.Array:
+        """Batched style extraction: uint8 [N,H,W,3] -> style bank [N,S] (fp32)."""
+
+        @jax.jit
+        def encode(params, imgs, idx):
+            x = prepare_images(imgs, self.compute_dtype)
+            return self.style_encoder.apply(params, x, idx).astype(jnp.float32)
+
+        n = images_u8.shape[0]
+        bank = []
+        b = min(self.batch_size, n)
+        for i in range(0, n, b):
+            chunk = images_u8[i : i + b]
+            pad = b - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)], 0)
+            idx = jnp.full((b,), domain_idx, jnp.int32)
+            out = encode(self.se_params, jnp.asarray(chunk), idx)
+            bank.append(np.asarray(out)[: b - pad])
+        return jnp.asarray(np.concatenate(bank, 0))
+
+    def preload_style_bank(
+        self,
+        ref_domain_dir: str,
+        domain_idx: int,
+        max_styles: Optional[int] = None,
+        seed: int = 0,
+    ) -> jax.Array:
+        """Load + encode every reference image of a domain (inference.py:80-129)."""
+        files = list_image_files(ref_domain_dir)
+        if not files:
+            raise ValueError(f"No images found in {ref_domain_dir}")
+        if max_styles and len(files) > max_styles:
+            rng = np.random.default_rng(seed)
+            files = [files[i] for i in rng.choice(len(files), max_styles, replace=False)]
+        logger.info("Loading %d style vectors from %s", len(files), ref_domain_dir)
+        with ThreadPoolExecutor(4) as pool:
+            imgs = list(pool.map(lambda p: load_inference_image(p, self.image_size), files))
+        return self.encode_styles(np.stack(imgs), domain_idx)
+
+    # ------------------------------------------------------------------
+    def _generate_fn(self):
+        gen = self.generator
+
+        def generate(params, imgs_u8, styles):
+            x = prepare_images(imgs_u8, self.compute_dtype)
+            out = gen.apply(params, x, styles.astype(self.compute_dtype))
+            return out.astype(jnp.float32)
+
+        return jax.jit(generate, donate_argnums=(1,))
+
+    def translate_batches(
+        self,
+        batches: Iterator[Tuple[np.ndarray, List[str]]],
+        style_bank: jax.Array,
+        style_mode: str,
+        noise_level: float = 0.1,
+        seed: int = 0,
+    ) -> Iterator[Tuple[np.ndarray, List[str]]]:
+        """uint8 batches + names -> [-1,1] float translations + names."""
+        generate = self._generate_fn()
+        key = jax.random.PRNGKey(seed)
+        for imgs, names in batches:
+            n = imgs.shape[0]
+            pad = self.batch_size - n
+            if pad:
+                imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)], 0)
+            key, sub = jax.random.split(key)
+            styles = sample_styles(
+                style_bank, style_mode, sub, self.batch_size, noise_level
+            )
+            out = generate(self.gen_params, jnp.asarray(imgs), styles)
+            yield np.asarray(out)[:n], names
+
+    def iter_input_batches(
+        self, input_dir: str
+    ) -> Iterator[Tuple[np.ndarray, List[str]]]:
+        """Decode input images in a thread pool, yielding fixed-size batches."""
+        files = list_image_files(input_dir)
+        if not files:
+            return
+        with ThreadPoolExecutor(4) as pool:
+            for i in range(0, len(files), self.batch_size):
+                chunk = files[i : i + self.batch_size]
+                imgs = list(
+                    pool.map(lambda p: load_inference_image(p, self.image_size), chunk)
+                )
+                yield np.stack(imgs), [os.path.basename(p) for p in chunk]

@@ -1,0 +1,66 @@
+"""Resolve inference weights from either checkpoint format.
+
+Accepts a checkpoint directory in either of two layouts:
+
+  1. msig_tpu native (``state/`` Orbax pytree + ``meta.json``) — EMA weights
+     preferred, raw fallback (see msig_tpu/train/checkpoint.py);
+  2. reference torch format (``checkpoint.pth`` [+ ``ema_checkpoint.pth``])
+     — converted on the fly via :mod:`msig_tpu.compat.torch_import`, with
+     the same EMA preference (reference inference.py:46-72).
+
+Returns (G_A2B params, SE_B params, meta, used_ema).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Tuple
+
+import jax
+
+from msig_tpu.config import InferenceConfig, TrainConfig
+
+
+def load_inference_params(
+    checkpoint_dir: str, cfg: InferenceConfig, num_domains: int
+) -> Tuple[Dict, Dict, Dict[str, Any], bool]:
+    if os.path.exists(os.path.join(checkpoint_dir, "meta.json")):
+        return _load_native(checkpoint_dir, cfg, num_domains)
+    if os.path.exists(os.path.join(checkpoint_dir, "checkpoint.pth")):
+        return _load_torch(checkpoint_dir, cfg, num_domains)
+    raise FileNotFoundError(
+        f"No msig_tpu (meta.json) or reference (checkpoint.pth) checkpoint in {checkpoint_dir}"
+    )
+
+
+def _load_native(checkpoint_dir, cfg, num_domains):
+    from msig_tpu.train.checkpoint import load_meta, load_for_inference
+    from msig_tpu.train.state import Models, create_train_state
+
+    meta = load_meta(checkpoint_dir) or {}
+    saved_domains = int(meta.get("num_domains", num_domains))
+    tcfg = TrainConfig(
+        image_size=int(meta.get("image_size", cfg.image_size)),
+        style_dim=int(meta.get("style_dim", cfg.style_dim)),
+        n_residual_blocks=int(meta.get("n_residual_blocks", cfg.n_residual_blocks)),
+    )
+    models = Models.from_config(tcfg, saved_domains)
+    template = create_train_state(tcfg, models, jax.random.PRNGKey(0))
+    gen, se_b, used_ema, meta = load_for_inference(checkpoint_dir, template, use_ema=True)
+    return gen, se_b, meta, used_ema
+
+
+def _load_torch(checkpoint_dir, cfg, num_domains):
+    from msig_tpu.compat.torch_import import load_torch_checkpoint_dir
+
+    gen_params, _, ema_params = load_torch_checkpoint_dir(
+        checkpoint_dir, num_domains, cfg.style_dim, cfg.n_residual_blocks
+    )
+    meta = {
+        "num_domains": num_domains,
+        "style_dim": cfg.style_dim,
+        "n_residual_blocks": cfg.n_residual_blocks,
+    }
+    if ema_params is not None:
+        return ema_params["G_A2B"], ema_params["SE_B"], meta, True
+    return gen_params["G_A2B"], gen_params["SE_B"], meta, False

@@ -1,0 +1,188 @@
+"""Inference tests: style modes, batched engine, CLI end-to-end, exit codes."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from msig_tpu.config import InferenceConfig, TrainConfig
+from msig_tpu.data import MultiDomainDataset
+from msig_tpu.infer import InferenceEngine, sample_styles
+from msig_tpu.train.trainer import Trainer
+
+
+class TestStyleModes:
+    def setup_method(self):
+        self.bank = jnp.asarray(np.random.default_rng(0).standard_normal((6, 8)).astype(np.float32))
+        self.key = jax.random.PRNGKey(0)
+
+    def test_average_deterministic(self):
+        out = sample_styles(self.bank, "average", self.key, 4)
+        want = np.mean(np.asarray(self.bank), axis=0)
+        for row in np.asarray(out):
+            np.testing.assert_allclose(row, want, rtol=1e-6)
+
+    def test_specific_is_first(self):
+        out = sample_styles(self.bank, "specific", self.key, 3)
+        for row in np.asarray(out):
+            np.testing.assert_allclose(row, np.asarray(self.bank)[0], rtol=1e-6)
+
+    def test_random_draws_bank_rows(self):
+        out = np.asarray(sample_styles(self.bank, "random", self.key, 32))
+        bank = np.asarray(self.bank)
+        for row in out:
+            assert any(np.allclose(row, b) for b in bank)
+
+    def test_interpolate_convex_and_distinct(self):
+        out = np.asarray(sample_styles(self.bank, "interpolate", self.key, 64))
+        bank = np.asarray(self.bank)
+        # every output lies within the bank's coordinate-wise min/max hull
+        lo, hi = bank.min(0) - 1e-5, bank.max(0) + 1e-5
+        assert (out >= lo).all() and (out <= hi).all()
+        # not all identical (alpha varies)
+        assert np.std(out, axis=0).max() > 1e-3
+
+    def test_interpolate_single_vector_bank(self):
+        bank1 = self.bank[:1]
+        out = np.asarray(sample_styles(bank1, "interpolate", self.key, 4))
+        for row in out:
+            np.testing.assert_allclose(row, np.asarray(bank1)[0], rtol=1e-6)
+
+    def test_noise_level_scales(self):
+        big = np.asarray(sample_styles(self.bank, "noise", self.key, 256, noise_level=1.0))
+        small = np.asarray(sample_styles(self.bank, "noise", self.key, 256, noise_level=0.01))
+        bank = np.asarray(self.bank)
+
+        def min_dist(rows):
+            return np.mean([min(np.linalg.norm(r - b) for b in bank) for r in rows])
+
+        assert min_dist(big) > 10 * min_dist(small)
+
+    def test_unknown_mode_raises(self):
+        with pytest.raises(ValueError):
+            sample_styles(self.bank, "nope", self.key, 1)
+
+
+@pytest.fixture(scope="module")
+def trained_ckpt(tmp_path_factory):
+    """Train 1 tiny epoch and return (checkpoint_dir, data_root, cfg)."""
+    root = tmp_path_factory.mktemp("inf")
+    rng = np.random.default_rng(0)
+    src = root / "src"
+    src.mkdir()
+    for i in range(4):
+        Image.fromarray(rng.integers(0, 255, (36, 36, 3), dtype=np.uint8)).save(src / f"s{i}.jpg")
+    ref = root / "ref"
+    for d in ("DomA", "DomB"):
+        (ref / d).mkdir(parents=True)
+        for i in range(3):
+            Image.fromarray(rng.integers(0, 255, (36, 36, 3), dtype=np.uint8)).save(
+                ref / d / f"r{i}.jpg"
+            )
+    cfg = TrainConfig(
+        source_dir=str(src), target_dir=str(ref), save_dir_base=str(root / "results"),
+        exp_name="t", epochs=1, image_size=32, batch_size=4, save_freq=10,
+        style_dim=16, n_residual_blocks=1, checkpoint_every=1, use_pallas=False,
+    )
+    ds = MultiDomainDataset.build(cfg.source_dir, cfg.target_dir)
+    tr = Trainer(cfg, ds)
+    tr.train(0)
+    ckpt = os.path.join(cfg.save_dir_base, "t", "checkpoints", "epoch_1")
+    return ckpt, root, cfg
+
+
+class TestInferenceCLI:
+    def _icfg(self, trained_ckpt, out_name, **kw):
+        ckpt, root, tcfg = trained_ckpt
+        defaults = dict(
+            input_dir=tcfg.source_dir,
+            ref_domains_dir=tcfg.target_dir,
+            checkpoint_dir=ckpt,
+            output_dir=str(root / out_name),
+            target_domain="DomA",
+            image_size=32,
+            style_dim=16,
+            n_residual_blocks=1,
+            batch_size=4,
+            compute_dtype="float32",
+            use_pallas=False,
+        )
+        defaults.update(kw)
+        return InferenceConfig(**defaults)
+
+    @pytest.mark.parametrize("mode", ["average", "random", "interpolate", "noise", "specific"])
+    def test_all_style_modes_end_to_end(self, trained_ckpt, mode):
+        import inference as cli
+
+        cfg = self._icfg(trained_ckpt, f"out_{mode}", style_mode=mode)
+        rc = cli.main(cfg)
+        assert rc == 0
+        outs = sorted(os.listdir(cfg.output_dir))
+        assert outs == ["s0.jpg", "s1.jpg", "s2.jpg", "s3.jpg"]
+        img = np.asarray(Image.open(os.path.join(cfg.output_dir, outs[0])))
+        assert img.shape == (32, 32, 3)
+
+    def test_bad_target_domain_raises(self, trained_ckpt):
+        import inference as cli
+
+        cfg = self._icfg(trained_ckpt, "out_bad", target_domain="Nope")
+        with pytest.raises(ValueError):
+            cli.main(cfg)
+
+    def test_empty_input_dir_exit_code_1(self, trained_ckpt, tmp_path):
+        import inference as cli
+
+        empty = tmp_path / "empty"
+        empty.mkdir()
+        cfg = self._icfg(trained_ckpt, "out_empty", input_dir=str(empty))
+        assert cli.main(cfg) == 1
+
+    def test_partial_batch_padding(self, trained_ckpt):
+        """4 inputs with batch 8 -> one padded batch, still 4 outputs."""
+        import inference as cli
+
+        cfg = self._icfg(trained_ckpt, "out_pad", batch_size=8)
+        assert cli.main(cfg) == 0
+        assert len(os.listdir(cfg.output_dir)) == 4
+
+
+class TestTorchCheckpointInference:
+    def test_reference_format_checkpoint(self, trained_ckpt, tmp_path):
+        """A torch-format checkpoint dir drops straight into the CLI."""
+        import torch
+
+        from tests.test_torch_import import make_disc_sd, make_gen_sd, make_se_sd
+
+        import inference as cli
+
+        ckpt_dir = tmp_path / "torch_ckpt"
+        ckpt_dir.mkdir()
+        torch.save(
+            {
+                "G_A2B": make_gen_sd(), "G_B2A": make_gen_sd(),
+                "SE_A": make_se_sd(), "SE_B": make_se_sd(),
+                "D_A": make_disc_sd(), "D_B": make_disc_sd(),
+                "num_domains": 3,
+            },
+            ckpt_dir / "checkpoint.pth",
+        )
+        _, root, tcfg = trained_ckpt
+        cfg = InferenceConfig(
+            input_dir=tcfg.source_dir,
+            ref_domains_dir=tcfg.target_dir,
+            checkpoint_dir=str(ckpt_dir),
+            output_dir=str(tmp_path / "out_torch"),
+            target_domain="DomB",
+            image_size=32,
+            style_dim=16,
+            n_residual_blocks=2,
+            batch_size=4,
+            compute_dtype="float32",
+            use_pallas=False,
+        )
+        assert cli.main(cfg) == 0
+        assert len(os.listdir(cfg.output_dir)) == 4
