@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line with the headline metric.
+
+Headline (default mode): reference-guided 256x256 inference throughput in
+images/s on one chip — the generator forward with per-image style sampling
+fused in, bfloat16 convs, batch sweep, device-resident steady state (host
+IO overlaps in the real pipeline; the driver-visible metric is chip
+throughput). Baseline: the north-star target of 2000 img/s/chip
+(BASELINE.md — the reference publishes no numbers; it loops images one by
+one in eager torch, reference inference.py:273-305).
+
+Other modes (for local tuning, not the driver metric):
+    python bench.py --mode train   # fused train-step ms at batch 32, 256^2
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _sync(x) -> float:
+    """True device sync: fetch a scalar reduction of ``x``.
+
+    On the tunneled TPU platform used here, ``block_until_ready`` returns
+    before execution completes; fetching a scalar is the only reliable
+    barrier. The reduction is jitted once and costs one RTT (~26 ms),
+    amortized over each timed block.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    global _SYNC_FN
+    if "_SYNC_FN" not in globals():
+        _SYNC_FN = jax.jit(lambda a: jnp.sum(a.astype(jnp.float32)))
+    return float(_SYNC_FN(x))
+
+
+def bench_inference(batch_sizes=(64, 128, 256), iters=20, warmup=3, image_size=256):
+    import jax
+    import jax.numpy as jnp
+
+    from msig_tpu.infer.styles import sample_styles
+    from msig_tpu.models import StyleCycleGANGenerator
+    from msig_tpu.train.step import prepare_images
+
+    dtype = jnp.bfloat16
+    gen = StyleCycleGANGenerator(style_dim=256, n_residual_blocks=8, dtype=dtype,
+                                 use_pallas=True)
+    img0 = jnp.zeros((1, image_size, image_size, 3), dtype)
+    params = gen.init(jax.random.PRNGKey(0), img0, jnp.zeros((1, 256), dtype))
+    bank = jax.random.normal(jax.random.PRNGKey(1), (10, 256), jnp.float32)
+
+    best = 0.0
+    best_batch = 0
+    for bs in batch_sizes:
+        def step(params, imgs_u8, bank, key):
+            styles = sample_styles(bank, "random", key, bs)
+            x = prepare_images(imgs_u8, dtype)
+            return gen.apply(params, x, styles.astype(dtype))
+
+        fn = jax.jit(step)
+        rng = np.random.default_rng(0)
+        imgs = jax.device_put(
+            rng.integers(0, 256, (bs, image_size, image_size, 3), dtype=np.uint8)
+        )
+        key = jax.random.PRNGKey(2)
+        # warmup / compile
+        out = None
+        for _ in range(warmup):
+            key, sub = jax.random.split(key)
+            out = fn(params, imgs, bank, sub)
+        _sync(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            key, sub = jax.random.split(key)
+            out = fn(params, imgs, bank, sub)
+        _sync(out)
+        dt = time.perf_counter() - t0
+        rate = bs * iters / dt
+        print(f"  batch {bs}: {rate:.0f} img/s ({1000 * dt / iters:.2f} ms/batch)",
+              file=sys.stderr)
+        if rate > best:
+            best, best_batch = rate, bs
+    return best, best_batch
+
+
+def bench_train(batch=32, iters=10, warmup=2, image_size=256):
+    import jax
+    import jax.numpy as jnp
+
+    from msig_tpu.config import TrainConfig
+    from msig_tpu.losses import init_vgg_params
+    from msig_tpu.train import (
+        Models, create_train_state, current_loss_weights, make_optimizers,
+        make_train_step, weights_vector,
+    )
+
+    cfg = TrainConfig(image_size=image_size, batch_size=batch, compute_dtype="bfloat16")
+    models = Models.from_config(cfg, num_domains=10, dtype=jnp.bfloat16)
+    state = create_train_state(cfg, models, jax.random.PRNGKey(0))
+    vgg = init_vgg_params()
+    tx_g, tx_d = make_optimizers(cfg)
+    step = jax.jit(make_train_step(models, tx_g, tx_d, cfg.ema_beta, jnp.bfloat16),
+                   donate_argnums=(0,))
+    rng = np.random.default_rng(0)
+    batch_data = {
+        "source": jax.device_put(rng.integers(0, 256, (batch, image_size, image_size, 3), dtype=np.uint8)),
+        "target": jax.device_put(rng.integers(0, 256, (batch, image_size, image_size, 3), dtype=np.uint8)),
+        "source_domain": jnp.zeros((batch,), jnp.int32),
+        "target_domain": jnp.ones((batch,), jnp.int32),
+    }
+    w = jnp.asarray(weights_vector(current_loss_weights(cfg.loss_weights, 0)), jnp.float32)
+    lr_g, lr_d = jnp.float32(2e-4), jnp.float32(1e-4)
+    metrics = None
+    for _ in range(warmup):
+        state, metrics = step(state, batch_data, vgg, lr_g, lr_d, w)
+    _sync(metrics["G_loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch_data, vgg, lr_g, lr_d, w)
+    _sync(metrics["G_loss"])
+    ms = 1000 * (time.perf_counter() - t0) / iters
+    return ms
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["inference", "train"], default="inference")
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    if args.mode == "train":
+        ms = bench_train(iters=args.iters)
+        print(json.dumps({
+            "metric": "train_step_ms_b32_256",
+            "value": round(ms, 2),
+            "unit": "ms",
+            "vs_baseline": None,
+        }))
+        return
+
+    rate, bs = bench_inference(iters=args.iters)
+    print(f"  best: batch {bs}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "img_per_s_256_ref_guided_inference",
+        "value": round(rate, 1),
+        "unit": "img/s/chip",
+        "vs_baseline": round(rate / 2000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -84,6 +84,38 @@ class TorchConv(nn.Module):
         return y
 
 
+def _subpixel_conv_transpose_4_2_1(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """Exact ConvTranspose2d(k=4, s=2, p=1) via phase decomposition.
+
+    The dilated-input formulation spends 3/4 of its MACs multiplying the
+    zeros inserted by stride-2 dilation. Decomposing into the four output
+    phases — each a dense 2x2 convolution at *input* resolution, interleaved
+    back with a depth-to-space reshape — computes the identical result with
+    1/4 the FLOPs, all of it MXU-dense. Derivation (per spatial dim, with
+    ``K`` the equivalent-forward-conv kernel stored by TorchConvTranspose):
+    ``out[2t] = x[t-1]*K[0] + x[t]*K[2]`` and
+    ``out[2t+1] = x[t]*K[1] + x[t+1]*K[3]``.
+    """
+    b, h, w, _ = x.shape
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    def phase(sub_k, pad_h, pad_w):
+        return jax.lax.conv_general_dilated(
+            x, sub_k, (1, 1), (pad_h, pad_w), dimension_numbers=dn
+        )
+
+    o_ee = phase(kernel[0::2, 0::2], (1, 0), (1, 0))
+    o_eo = phase(kernel[0::2, 1::2], (1, 0), (0, 1))
+    o_oe = phase(kernel[1::2, 0::2], (0, 1), (1, 0))
+    o_oo = phase(kernel[1::2, 1::2], (0, 1), (0, 1))
+    cout = o_ee.shape[-1]
+    # [B,H,W,C] x4 -> [B, H, 2, W, 2, C] -> [B, 2H, 2W, C]
+    row_e = jnp.stack([o_ee, o_eo], axis=3)  # [B,H,W,2,C]
+    row_o = jnp.stack([o_oe, o_oo], axis=3)
+    out = jnp.stack([row_e, row_o], axis=2)  # [B,H,2,W,2,C]
+    return out.reshape(b, 2 * h, 2 * w, cout)
+
+
 class TorchConvTranspose(nn.Module):
     """Transposed conv with torch ``nn.ConvTranspose2d(k, s, p)`` semantics.
 
@@ -104,6 +136,10 @@ class TorchConvTranspose(nn.Module):
     padding: int = 1
     use_bias: bool = True
     dtype: Optional[jnp.dtype] = None
+    # Phase-decomposed path (exact, 1/4 the nominal FLOPs) — measured SLOWER
+    # than XLA's dilated lowering on TPU v5e (the interleave reshuffle costs
+    # more than the zero-MACs XLA already avoids), so off by default.
+    subpixel: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -116,16 +152,19 @@ class TorchConvTranspose(nn.Module):
             return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
 
         kernel = self.param("kernel", kernel_init, (k, k, cin, self.features))
-        p = k - 1 - self.padding
         dtype = self.dtype or x.dtype
-        y = jax.lax.conv_general_dilated(
-            x.astype(dtype),
-            kernel.astype(dtype),
-            window_strides=(1, 1),
-            padding=((p, p), (p, p)),
-            lhs_dilation=(self.strides, self.strides),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if self.subpixel and k == 4 and self.strides == 2 and self.padding == 1:
+            y = _subpixel_conv_transpose_4_2_1(x.astype(dtype), kernel.astype(dtype))
+        else:
+            p = k - 1 - self.padding
+            y = jax.lax.conv_general_dilated(
+                x.astype(dtype),
+                kernel.astype(dtype),
+                window_strides=(1, 1),
+                padding=((p, p), (p, p)),
+                lhs_dilation=(self.strides, self.strides),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             bound = 1.0 / math.sqrt(self.features * k * k)
             bias = self.param("bias", _uniform_init(bound), (self.features,))
