@@ -29,6 +29,7 @@ from typing import Dict, Iterator, Optional, Tuple
 import numpy as np
 from PIL import Image
 
+from msig_tpu.data import native_loader
 from msig_tpu.data.dataset import MultiDomainDataset
 
 
@@ -66,21 +67,36 @@ def random_resized_crop_params(
     return top, left, h, w
 
 
-def load_train_image(path: str, size: int, rng: np.random.Generator) -> np.ndarray:
-    """Decode + RandomResizedCrop(size) + k*90 rotation -> uint8 [size,size,3]."""
+def load_train_image(
+    path: str, size: int, rng: np.random.Generator, backend: str = "auto"
+) -> np.ndarray:
+    """Decode + RandomResizedCrop(size) + k*90 rotation -> uint8 [size,size,3].
+
+    ``backend='auto'`` uses the native C++ core (decode + fused crop-resize +
+    rotate, msig_tpu/data/native_loader.py) when built, else PIL. Both draw
+    from ``rng`` in the same order (crop params, then rotation k), so the
+    sampled augmentation sequence is backend-independent.
+    """
+    if backend != "pil" and native_loader.available():
+        w, h = native_loader.image_size(path)
+        top, left, ch, cw = random_resized_crop_params(rng, h, w)
+        k = int(rng.integers(4))
+        return native_loader.decode_resize(path, size, (top, left, ch, cw), k)
     with Image.open(path) as img:
         img = img.convert("RGB")
         top, left, h, w = random_resized_crop_params(rng, img.height, img.width)
+        k = int(rng.integers(4))
         img = img.resize((size, size), Image.BILINEAR, box=(left, top, left + w, top + h))
         arr = np.asarray(img, dtype=np.uint8)
-    k = int(rng.integers(4))
     if k:
         arr = np.ascontiguousarray(np.rot90(arr, k))
     return arr
 
 
-def load_inference_image(path: str, size: int) -> np.ndarray:
+def load_inference_image(path: str, size: int, backend: str = "auto") -> np.ndarray:
     """Decode + Resize((size,size)) -> uint8 (reference dataset.py:100-104)."""
+    if backend != "pil" and native_loader.available():
+        return native_loader.decode_resize(path, size)
     with Image.open(path) as img:
         img = img.convert("RGB").resize((size, size), Image.BILINEAR)
         return np.asarray(img, dtype=np.uint8)
