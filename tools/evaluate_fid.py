@@ -1,0 +1,39 @@
+#!/usr/bin/env python
+"""FID between two image directories (e.g. generated outputs vs real target).
+
+    python tools/evaluate_fid.py --dir_a output/... --dir_b data/ref/Domain \\
+        [--image_size 256] [--vgg_weights vgg19_prefix.npz]
+
+Without --vgg_weights the score is a PROXY FID (deterministic random VGG) —
+self-consistent across runs of this framework, not comparable to published
+InceptionV3 FID numbers. See msig_tpu/eval/fid.py.
+"""
+
+import argparse
+import json
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir_a", required=True)
+    ap.add_argument("--dir_b", required=True)
+    ap.add_argument("--image_size", type=int, default=256)
+    ap.add_argument("--batch_size", type=int, default=32)
+    ap.add_argument("--vgg_weights", type=str, default=None)
+    args = ap.parse_args()
+
+    from msig_tpu.eval import fid_between_dirs
+
+    score = fid_between_dirs(
+        args.dir_a, args.dir_b, args.image_size, args.batch_size, args.vgg_weights
+    )
+    print(json.dumps({
+        "metric": "fid" if args.vgg_weights else "proxy_fid_random_vgg",
+        "value": round(score, 4),
+        "dir_a": args.dir_a,
+        "dir_b": args.dir_b,
+    }))
+
+
+if __name__ == "__main__":
+    main()
