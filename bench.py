@@ -15,10 +15,16 @@ Other modes (for local tuning, not the driver metric):
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Persistent compilation cache: Mosaic/XLA compiles through the remote-compile
+# path are slow (minutes per Pallas kernel); caching makes repeat bench runs
+# start in seconds.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 
 def _sync(x) -> float:
@@ -47,8 +53,9 @@ def bench_inference(batch_sizes=(64, 128, 256), iters=20, warmup=3, image_size=2
     from msig_tpu.train.step import prepare_images
 
     dtype = jnp.bfloat16
+    use_pallas = os.environ.get("MSIG_BENCH_PALLAS") == "1"
     gen = StyleCycleGANGenerator(style_dim=256, n_residual_blocks=8, dtype=dtype,
-                                 use_pallas=True)
+                                 use_pallas=use_pallas)
     img0 = jnp.zeros((1, image_size, image_size, 3), dtype)
     params = gen.init(jax.random.PRNGKey(0), img0, jnp.zeros((1, 256), dtype))
     bank = jax.random.normal(jax.random.PRNGKey(1), (10, 256), jnp.float32)

@@ -64,6 +64,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="Disable sharding the batch over local devices")
     parser.add_argument("--no_pallas", action="store_true",
                         help="Disable the fused Pallas AdaIN kernel (use pure XLA)")
+    parser.add_argument("--profile_steps", type=int, default=0,
+                        help="Trace N training steps with jax.profiler, then exit")
+    parser.add_argument("--r1_gamma", type=float, default=0.0,
+                        help="EXTENSION: R1 gradient-penalty weight (0 = reference parity)")
     return parser
 
 
@@ -89,6 +93,8 @@ def config_from_args(args) -> TrainConfig:
         seed=args.seed,
         data_parallel=not args.no_data_parallel,
         use_pallas=not args.no_pallas,
+        profile_steps=args.profile_steps,
+        r1_gamma=args.r1_gamma,
     )
 
 
@@ -129,6 +135,11 @@ def main(cfg: TrainConfig) -> int:
     print("=" * 60 + "\n")
 
     trainer = Trainer(cfg, dataset, wandb_run=wandb_run)
+
+    if getattr(cfg, "profile_steps", 0):
+        trace_dir = trainer.profile_steps(cfg.profile_steps)
+        print(f"Profiler trace written to {trace_dir}")
+        return 0
 
     start_epoch = 0
     if cfg.resume:

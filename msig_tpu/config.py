@@ -79,7 +79,13 @@ CHECKPOINT_EVERY_EPOCHS = 10
 COMPUTE_DTYPE_TRAIN = "float32"  # conv compute dtype in the train step
 COMPUTE_DTYPE_INFER = "bfloat16"  # conv compute dtype in the inference engine
 INFERENCE_BATCH_SIZE = 64  # batched generation (reference loops 1-by-1)
-USE_PALLAS_ADAIN = True  # fused Pallas instance-norm+modulation kernel on TPU
+# Fused Pallas instance-norm+modulation kernel (msig_tpu/ops/adain_pallas.py).
+# Measured on TPU v5e (batch-128 256x256 generator forward): the pure-XLA path
+# wins (1259 img/s vs 982) because XLA fuses the normalize+modulate chain into
+# the surrounding convolutions, which an opaque pallas_call prevents — so the
+# default is False; the kernel stays available (correct + VJP-tested) for
+# platforms/shapes where the trade-off flips.
+USE_PALLAS_ADAIN = False
 VGG_WEIGHTS_PATH = None  # .npz produced by tools/convert_vgg_weights.py
 
 
@@ -129,6 +135,9 @@ class TrainConfig:
     use_pallas: bool = USE_PALLAS_ADAIN
     vgg_weights_path: Optional[str] = VGG_WEIGHTS_PATH
     data_parallel: bool = True  # shard the batch over all local devices
+    profile_steps: int = 0  # >0: trace N steps with jax.profiler, then exit
+    # EXTENSION (not in reference): R1 gradient penalty weight; 0 = parity.
+    r1_gamma: float = 0.0
 
     @property
     def experiment_name(self) -> str:

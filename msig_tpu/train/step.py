@@ -42,8 +42,21 @@ def prepare_images(x: jax.Array, dtype=jnp.float32) -> jax.Array:
     return x.astype(dtype)
 
 
-def make_train_step(models: Models, tx_g, tx_d, ema_beta: float, compute_dtype=jnp.float32):
-    """Build the fused step. Returns fn(state, batch, vgg_params, g_lr, d_lr, w)."""
+def make_train_step(
+    models: Models,
+    tx_g,
+    tx_d,
+    ema_beta: float,
+    compute_dtype=jnp.float32,
+    r1_gamma: float = 0.0,
+):
+    """Build the fused step. Returns fn(state, batch, vgg_params, g_lr, d_lr, w).
+
+    ``r1_gamma > 0`` adds an R1 gradient penalty on real images to the
+    discriminator loss — an EXTENSION beyond the reference (which trains
+    with plain LSGAN only, trainer.py:139-153); at the default 0.0 the loss
+    surface is exactly the reference's.
+    """
 
     gen = models.generator
     se = models.style_encoder
@@ -122,7 +135,15 @@ def make_train_step(models: Models, tx_g, tx_d, ema_beta: float, compute_dtype=j
             loss_real_B = lsgan_real(disc.apply(d_params["D_B"], real_B, y_trg))
             loss_fake_A = lsgan_fake(disc.apply(d_params["D_A"], fake_A_sg, y_org))
             loss_fake_B = lsgan_fake(disc.apply(d_params["D_B"], fake_B_sg, y_trg))
-            return (loss_real_A + loss_fake_A + loss_real_B + loss_fake_B) / 2
+            d_loss = (loss_real_A + loss_fake_A + loss_real_B + loss_fake_B) / 2
+            if r1_gamma > 0.0:
+                from msig_tpu.extensions.r1 import r1_penalty
+
+                d_loss = d_loss + (r1_gamma / 2.0) * (
+                    r1_penalty(disc.apply, d_params["D_A"], real_A, y_org)
+                    + r1_penalty(disc.apply, d_params["D_B"], real_B, y_trg)
+                )
+            return d_loss
 
         d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.disc_params)
         d_updates, opt_d = tx_d.update(d_grads, state.opt_d, state.disc_params)

@@ -79,7 +79,11 @@ class Trainer:
             self.vgg_params = replicate(self.mesh, self.vgg_params)
         tx_g, tx_d = make_optimizers(cfg)
         self.train_step = jit_train_step(
-            make_train_step(self.models, tx_g, tx_d, cfg.ema_beta, dtype), self.mesh
+            make_train_step(
+                self.models, tx_g, tx_d, cfg.ema_beta, dtype,
+                r1_gamma=getattr(cfg, "r1_gamma", 0.0),
+            ),
+            self.mesh,
         )
         self._eval_fn = jax.jit(self._make_eval_fn())
 
@@ -94,6 +98,7 @@ class Trainer:
         # Histories (reference trainer.py:71-72, utils.py:107-108)
         self.loss_history: Dict[str, List[float]] = {k: [] for k in METRIC_KEYS}
         self.weight_history: Dict[str, List[float]] = {k: [] for k in WEIGHT_KEYS}
+        self.step_time_ms: List[float] = []  # per-epoch avg wall-clock per step
 
         self.save_dir = os.path.join(cfg.save_dir_base, cfg.experiment_name)
         self.images_dir = os.path.join(self.save_dir, "images")
@@ -168,6 +173,35 @@ class Trainer:
         save_checkpoint(checkpoint_dir, self.state, meta)
 
     # ------------------------------------------------------------------
+    def profile_steps(self, n_steps: int = 5, trace_dir: Optional[str] = None) -> str:
+        """Trace ``n_steps`` training steps with jax.profiler; returns the dir.
+
+        The reference has no profiling surface at all (SURVEY.md §5); this is
+        the TPU-build observability hook — view with TensorBoard or xprof.
+        """
+        trace_dir = trace_dir or os.path.join(self.save_dir, "profile")
+        os.makedirs(trace_dir, exist_ok=True)
+        it = self.loader.epoch(0)
+        weights = current_loss_weights(self.cfg.loss_weights, 0)
+        w_vec = jnp.asarray(weights_vector(weights), jnp.float32)
+        g_lr, d_lr = jnp.float32(self.cfg.lr_g), jnp.float32(self.cfg.lr_d)
+        # compile outside the trace
+        batch = next(it)
+        self.state, m = self.train_step(self.state, batch, self.vgg_params, g_lr, d_lr, w_vec)
+        jax.block_until_ready(m)
+        with jax.profiler.trace(trace_dir):
+            for _ in range(n_steps):
+                try:
+                    batch = next(it)
+                except StopIteration:
+                    break
+                self.state, m = self.train_step(
+                    self.state, batch, self.vgg_params, g_lr, d_lr, w_vec
+                )
+            jax.block_until_ready(m)
+        logger.info("Wrote profiler trace to %s", trace_dir)
+        return trace_dir
+
     def train(self, start_epoch: int = 0) -> None:
         cfg = self.cfg
         os.makedirs(self.images_dir, exist_ok=True)
@@ -208,14 +242,16 @@ class Trainer:
             for k, v in avg.items():
                 self.loss_history[k].append(v)
             dt = time.time() - t0
+            ms_per_step = 1000 * dt / max(1, steps)
+            self.step_time_ms.append(ms_per_step)
             logger.info(
                 "epoch %d/%d  %.1fs (%.1f ms/step)  %s",
-                epoch + 1, cfg.epochs, dt, 1000 * dt / max(1, steps),
+                epoch + 1, cfg.epochs, dt, ms_per_step,
                 "  ".join(f"{k}={v:.3f}" for k, v in avg.items()),
             )
 
             if self.wandb is not None:
-                logs = {"epoch": epoch + 1}
+                logs = {"epoch": epoch + 1, "perf/step_time_ms": ms_per_step}
                 logs.update({f"avg_loss/{k}": v for k, v in avg.items()})
                 logs["lr/generator"] = float(g_lr)
                 logs["lr/discriminator"] = float(d_lr)
