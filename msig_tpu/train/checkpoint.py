@@ -65,10 +65,69 @@ def restore_checkpoint(save_dir: str, template: TrainState) -> Tuple[Optional[Tr
     return state, meta
 
 
+def _resume_from_torch(
+    save_dir: str, template: TrainState, expected_num_domains: int
+) -> Tuple[TrainState, Dict[str, Any], int]:
+    """Resume from a reference-format torch checkpoint directory.
+
+    Imports all six networks (+ EMA when present) via msig_tpu.compat and
+    derives start_epoch from the pickled loss history, mirroring the
+    reference's resume semantics (trainer.py:176-207). Optimizer state is
+    re-initialized (Adam moments re-warm within a few steps).
+    """
+    import jax.numpy as jnp
+    import torch
+
+    from msig_tpu.compat.torch_import import load_torch_checkpoint_dir
+
+    ckpt = torch.load(
+        os.path.join(save_dir, "checkpoint.pth"), map_location="cpu", weights_only=False
+    )
+    saved_domains = int(ckpt.get("num_domains", 2))
+    if saved_domains != expected_num_domains:
+        logger.warning(
+            "Saved torch model has %d domains, but current model expects %d — "
+            "starting from scratch",
+            saved_domains,
+            expected_num_domains,
+        )
+        return template, {}, 0
+    # infer hyperparams from the template's shapes
+    style_dim = template.gen_params["SE_A"]["params"]["branches"]["kernel"].shape[1] // saved_domains
+    n_res = sum(
+        1 for k in template.gen_params["G_A2B"]["params"] if k.startswith("resblock")
+    )
+    gen_params, disc_params, ema_params = load_torch_checkpoint_dir(
+        save_dir, saved_domains, style_dim, n_res
+    )
+    as_jnp = lambda tree: jax.tree.map(jnp.asarray, tree)
+    state = TrainState(
+        gen_params=as_jnp(gen_params),
+        disc_params=as_jnp(disc_params),
+        ema_params=as_jnp(ema_params if ema_params is not None else gen_params),
+        opt_g=template.opt_g,
+        opt_d=template.opt_d,
+        step=template.step,
+    )
+    loss_history = {
+        k: [float(x) for x in v] for k, v in ckpt.get("loss_history", {}).items()
+    }
+    start_epoch = len(loss_history.get("G_loss", []))
+    logger.info("Imported reference torch checkpoint from %s (epoch %d)", save_dir, start_epoch)
+    return state, loss_history, start_epoch
+
+
 def resume_for_training(
     save_dir: str, template: TrainState, expected_num_domains: int
 ) -> Tuple[TrainState, Dict[str, Any], int]:
-    """(state, loss_history, start_epoch); scratch on missing/domain-mismatch."""
+    """(state, loss_history, start_epoch); scratch on missing/domain-mismatch.
+
+    Accepts both native (Orbax) and reference torch checkpoint directories.
+    """
+    if not os.path.exists(os.path.join(save_dir, _META_FILE)) and os.path.exists(
+        os.path.join(save_dir, "checkpoint.pth")
+    ):
+        return _resume_from_torch(save_dir, template, expected_num_domains)
     state, meta = restore_checkpoint(save_dir, template)
     if state is None:
         return template, {}, 0
