@@ -167,6 +167,33 @@ def main(cfg: InferenceConfig) -> int:
 
     os.makedirs(cfg.output_dir, exist_ok=True)
 
+    # --save_grid: comparison grid of all style modes for the first input.
+    # (The reference parses this flag but never implements it,
+    # reference inference.py:352-353 — here it works.)
+    if cfg.save_grid:
+        first = next(engine.iter_input_batches(cfg.input_dir), None)
+        if first is not None:
+            import numpy as np
+
+            from msig_tpu.infer.styles import STYLE_MODES
+
+            imgs, names = first
+            one = imgs[0:1]
+            tiles = [one[0].astype("float32") / 127.5 - 1.0]
+            labels = ["input"]
+            for mode in STYLE_MODES:
+                out, _ = next(
+                    engine.translate_batches(
+                        iter([(one.copy(), names[:1])]), bank, mode,
+                        cfg.noise_level, cfg.seed,
+                    )
+                )
+                tiles.append(out[0])
+                labels.append(mode)
+            grid_path = os.path.join(cfg.output_dir, "style_modes_grid.png")
+            save_sample_grid(np.stack(tiles), grid_path, nrow=3, domain_names=labels)
+            say(f"Saved style-mode comparison grid to {grid_path}")
+
     processed, failed = 0, 0
     batches = engine.iter_input_batches(cfg.input_dir)
     say(f"Processing images with style mode: {cfg.style_mode}")

@@ -141,6 +141,13 @@ class TestInferenceCLI:
         cfg = self._icfg(trained_ckpt, "out_empty", input_dir=str(empty))
         assert cli.main(cfg) == 1
 
+    def test_save_grid_writes_comparison(self, trained_ckpt):
+        import inference as cli
+
+        cfg = self._icfg(trained_ckpt, "out_grid", save_grid=True, style_mode="specific")
+        assert cli.main(cfg) == 0
+        assert os.path.exists(os.path.join(cfg.output_dir, "style_modes_grid.png"))
+
     def test_partial_batch_padding(self, trained_ckpt):
         """4 inputs with batch 8 -> one padded batch, still 4 outputs."""
         import inference as cli
