@@ -49,8 +49,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="Dimension of style code")
     # Style sampling
     parser.add_argument("--style_mode", type=str, default=default_config.INFERENCE_STYLE_MODE,
-                        choices=["average", "random", "interpolate", "noise", "specific"],
-                        help="Style sampling mode")
+                        choices=["average", "random", "interpolate", "noise", "specific",
+                                 "latent"],
+                        help="Style sampling mode ('latent' is an extension and needs "
+                             "--mapping_params)")
+    parser.add_argument("--mapping_params", type=str, default=None,
+                        help="EXTENSION: flax-serialized MappingNetwork params for "
+                             "latent-guided synthesis (style_mode=latent)")
+    parser.add_argument("--latent_dim", type=int, default=16,
+                        help="EXTENSION: latent z dimension for style_mode=latent")
     parser.add_argument("--noise_level", type=float,
                         default=default_config.INFERENCE_NOISE_LEVEL,
                         help="Noise level for noise mode")
@@ -87,6 +94,8 @@ def config_from_args(args) -> InferenceConfig:
         compute_dtype=args.compute_dtype,
         seed=args.seed,
         use_pallas=not args.no_pallas,
+        mapping_params=args.mapping_params,
+        latent_dim=args.latent_dim,
     )
 
 
@@ -149,28 +158,54 @@ def main(cfg: InferenceConfig) -> int:
         style_dim=meta.get("style_dim"),
     )
 
-    # Preload style bank
-    try:
-        bank = engine.preload_style_bank(
-            os.path.join(cfg.ref_domains_dir, cfg.target_domain),
-            target_idx,
-            max_styles=cfg.max_styles,
-            seed=cfg.seed,
-        )
-        say(f"Style vectors loaded successfully ({bank.shape[0]})")
-    except Exception as e:
-        print(f"Failed to load style vectors: {e}")
-        import traceback
+    # Style source: preloaded reference bank, or (extension) mapping network
+    mapping = None
+    bank = None
+    if cfg.style_mode == "latent":
+        if not cfg.mapping_params:
+            raise ValueError("style_mode='latent' requires --mapping_params")
+        import jax
+        import jax.numpy as jnp
+        from flax import serialization
 
-        traceback.print_exc()
-        return 1
+        from msig_tpu.extensions import MappingNetwork
+
+        map_mod = MappingNetwork(
+            latent_dim=cfg.latent_dim,
+            style_dim=int(meta.get("style_dim", cfg.style_dim)),
+            num_domains=num_domains,
+        )
+        template = map_mod.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.latent_dim)),
+            jnp.zeros((1,), jnp.int32),
+        )
+        with open(cfg.mapping_params, "rb") as f:
+            map_params = serialization.from_bytes(template, f.read())
+        mapping = (map_mod, map_params, cfg.latent_dim, target_idx)
+        say("Mapping network loaded (latent-guided synthesis)")
+    else:
+        try:
+            bank = engine.preload_style_bank(
+                os.path.join(cfg.ref_domains_dir, cfg.target_domain),
+                target_idx,
+                max_styles=cfg.max_styles,
+                seed=cfg.seed,
+            )
+            say(f"Style vectors loaded successfully ({bank.shape[0]})")
+        except Exception as e:
+            print(f"Failed to load style vectors: {e}")
+            import traceback
+
+            traceback.print_exc()
+            return 1
 
     os.makedirs(cfg.output_dir, exist_ok=True)
 
     # --save_grid: comparison grid of all style modes for the first input.
     # (The reference parses this flag but never implements it,
     # reference inference.py:352-353 — here it works.)
-    if cfg.save_grid:
+    if cfg.save_grid and bank is not None:
         first = next(engine.iter_input_batches(cfg.input_dir), None)
         if first is not None:
             import numpy as np
@@ -198,7 +233,7 @@ def main(cfg: InferenceConfig) -> int:
     batches = engine.iter_input_batches(cfg.input_dir)
     say(f"Processing images with style mode: {cfg.style_mode}")
     for out, names in engine.translate_batches(
-        batches, bank, cfg.style_mode, cfg.noise_level, cfg.seed
+        batches, bank, cfg.style_mode, cfg.noise_level, cfg.seed, mapping=mapping
     ):
         for img, name in zip(out, names):
             try:

@@ -170,3 +170,6 @@ class InferenceConfig:
     use_pallas: bool = USE_PALLAS_ADAIN
     n_residual_blocks: int = N_RESIDUAL_BLOCKS
     seed: int = 0
+    # EXTENSION (not in reference): latent-guided synthesis via MappingNetwork
+    mapping_params: Optional[str] = None
+    latent_dim: int = 16

@@ -23,7 +23,7 @@ import dataclasses
 import logging
 import os
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, Iterator, List, Optional, Tuple
+from typing import Any, Dict, Iterator, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -133,23 +133,45 @@ class InferenceEngine:
     def translate_batches(
         self,
         batches: Iterator[Tuple[np.ndarray, List[str]]],
-        style_bank: jax.Array,
+        style_bank: Optional[jax.Array],
         style_mode: str,
         noise_level: float = 0.1,
         seed: int = 0,
+        mapping: Optional[Tuple[Any, Dict, int, int]] = None,
     ) -> Iterator[Tuple[np.ndarray, List[str]]]:
-        """uint8 batches + names -> [-1,1] float translations + names."""
+        """uint8 batches + names -> [-1,1] float translations + names.
+
+        ``style_mode='latent'`` (EXTENSION — not in the reference) draws
+        z ~ N(0, I) per image and maps it through a
+        :class:`msig_tpu.extensions.MappingNetwork`; pass
+        ``mapping=(module, params, latent_dim, domain_idx)``.
+        """
         generate = self._generate_fn()
         key = jax.random.PRNGKey(seed)
+        if style_mode == "latent":
+            if mapping is None:
+                raise ValueError("style_mode='latent' requires a mapping network")
+            map_mod, map_params, latent_dim, domain_idx = mapping
+
+            def draw_styles(sub):
+                z = jax.random.normal(sub, (self.batch_size, latent_dim))
+                idx = jnp.full((self.batch_size,), domain_idx, jnp.int32)
+                return map_mod.apply(map_params, z, idx).astype(jnp.float32)
+
+        else:
+
+            def draw_styles(sub):
+                return sample_styles(
+                    style_bank, style_mode, sub, self.batch_size, noise_level
+                )
+
         for imgs, names in batches:
             n = imgs.shape[0]
             pad = self.batch_size - n
             if pad:
                 imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)], 0)
             key, sub = jax.random.split(key)
-            styles = sample_styles(
-                style_bank, style_mode, sub, self.batch_size, noise_level
-            )
+            styles = draw_styles(sub)
             out = generate(self.gen_params, jnp.asarray(imgs), styles)
             yield np.asarray(out)[:n], names
 

@@ -63,11 +63,11 @@ def quantize_generator_params(params: Dict[str, Any], n_residual_blocks: int) ->
 
 
 def _requant(x: jax.Array) -> jax.Array:
-    """bf16/fp32 activations -> int8 with a per-sample dynamic scalar scale
+    """bf16 activations -> int8 with a per-sample dynamic scalar scale
     (factored out by the next conv's following IN, so never dequantized)."""
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(1, 2, 3), keepdims=True)
-    scale = jnp.where(amax > 0, 127.0 / amax, 1.0)
-    return jnp.clip(jnp.round(x.astype(jnp.float32) * scale), -127, 127).astype(jnp.int8)
+    amax = jnp.max(jnp.abs(x), axis=(1, 2, 3), keepdims=True).astype(jnp.float32)
+    scale = jnp.where(amax > 0, 127.0 / amax, 1.0).astype(x.dtype)
+    return jnp.clip(jnp.round((x * scale).astype(jnp.float32)), -127, 127).astype(jnp.int8)
 
 
 def _conv_i8(x_i8: jax.Array, w_i8: jax.Array, stride: int, pad, lhs_dilation=None) -> jax.Array:
@@ -105,25 +105,25 @@ def quantized_generator_apply(
     x = (img_u8.astype(jnp.int32) - 128).astype(jnp.int8)
     x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
     h = _conv_i8(x, q["enc_conv0"], 1, ((0, 0), (0, 0)))
-    h = jnp.maximum(instance_norm(h.astype(jnp.float32)), 0)
+    h = jnp.maximum(instance_norm(h.astype(jnp.bfloat16)), 0)
     h = _conv_i8(_requant(h), q["enc_conv1"], 2, ((1, 1), (1, 1)))
-    h = jnp.maximum(instance_norm(h.astype(jnp.float32)), 0)
+    h = jnp.maximum(instance_norm(h.astype(jnp.bfloat16)), 0)
     h = _conv_i8(_requant(h), q["enc_conv2"], 2, ((1, 1), (1, 1)))
-    h = jnp.maximum(instance_norm(h.astype(jnp.float32)), 0)
+    h = jnp.maximum(instance_norm(h.astype(jnp.bfloat16)), 0)
 
     for i in range(n_res):
         g1, b1 = _style_affine(style, q[f"res{i}_adain1_k"], q[f"res{i}_adain1_b"])
         g2, b2 = _style_affine(style, q[f"res{i}_adain2_k"], q[f"res{i}_adain2_b"])
         y = _conv_i8(_requant(h), q[f"res{i}_conv1"], 1, ((1, 1), (1, 1)))
-        y = jnp.maximum(adain_modulate(y.astype(jnp.float32), g1, b1), 0)
+        y = jnp.maximum(adain_modulate(y.astype(jnp.bfloat16), g1, b1), 0)
         y = _conv_i8(_requant(y), q[f"res{i}_conv2"], 1, ((1, 1), (1, 1)))
-        y = adain_modulate(y.astype(jnp.float32), g2, b2)
+        y = adain_modulate(y.astype(jnp.bfloat16), g2, b2)
         h = y + h
 
     h = _conv_i8(_requant(h), q["dec_up0"], 1, ((2, 2), (2, 2)), lhs_dilation=(2, 2))
-    h = jnp.maximum(instance_norm(h.astype(jnp.float32)), 0)
+    h = jnp.maximum(instance_norm(h.astype(jnp.bfloat16)), 0)
     h = _conv_i8(_requant(h), q["dec_up1"], 1, ((2, 2), (2, 2)), lhs_dilation=(2, 2))
-    h = jnp.maximum(instance_norm(h.astype(jnp.float32)), 0)
+    h = jnp.maximum(instance_norm(h.astype(jnp.bfloat16)), 0)
 
     # Final RGB conv + tanh in bf16 (not IN-followed -> needs true values).
     hb = h.astype(jnp.bfloat16)

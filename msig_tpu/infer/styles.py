@@ -19,6 +19,9 @@ import jax
 import jax.numpy as jnp
 
 STYLE_MODES = ("average", "random", "interpolate", "noise", "specific")
+# 'latent' (EXTENSION, not in the reference) additionally requires a mapping
+# network; handled by the engine, not by sample_styles.
+ALL_STYLE_MODES = STYLE_MODES + ("latent",)
 
 
 def sample_styles(

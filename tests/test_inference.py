@@ -157,6 +157,63 @@ class TestInferenceCLI:
         assert len(os.listdir(cfg.output_dir)) == 4
 
 
+class TestLatentGuided:
+    def test_latent_mode_end_to_end(self, trained_ckpt, tmp_path):
+        """EXTENSION: z ~ N(0,1) -> MappingNetwork -> generator."""
+        import jax
+        import jax.numpy as jnp
+        from flax import serialization
+
+        import inference as cli
+        from msig_tpu.extensions import MappingNetwork
+
+        # save random mapping params in the CLI's expected format
+        mod = MappingNetwork(latent_dim=4, style_dim=16, num_domains=3)
+        params = mod.init(jax.random.PRNGKey(3), jnp.zeros((1, 4)),
+                          jnp.zeros((1,), jnp.int32))
+        mp = tmp_path / "mapping.msgpack"
+        mp.write_bytes(serialization.to_bytes(params))
+
+        ckpt, root, tcfg = trained_ckpt
+        cfg = InferenceConfig(
+            input_dir=tcfg.source_dir,
+            ref_domains_dir=tcfg.target_dir,
+            checkpoint_dir=ckpt,
+            output_dir=str(tmp_path / "out_latent"),
+            target_domain="DomA",
+            image_size=32,
+            style_dim=16,
+            n_residual_blocks=1,
+            batch_size=4,
+            compute_dtype="float32",
+            use_pallas=False,
+            style_mode="latent",
+            mapping_params=str(mp),
+            latent_dim=4,
+        )
+        assert cli.main(cfg) == 0
+        assert len(os.listdir(cfg.output_dir)) == 4
+
+    def test_latent_without_mapping_raises(self, trained_ckpt, tmp_path):
+        import pytest
+
+        import inference as cli
+
+        _, root, tcfg = trained_ckpt
+        cfg = InferenceConfig(
+            input_dir=tcfg.source_dir,
+            ref_domains_dir=tcfg.target_dir,
+            checkpoint_dir=trained_ckpt[0],
+            output_dir=str(tmp_path / "out_nolatent"),
+            target_domain="DomA",
+            image_size=32, style_dim=16, n_residual_blocks=1,
+            batch_size=4, compute_dtype="float32", use_pallas=False,
+            style_mode="latent",
+        )
+        with pytest.raises(ValueError):
+            cli.main(cfg)
+
+
 class TestTorchCheckpointInference:
     def test_reference_format_checkpoint(self, trained_ckpt, tmp_path):
         """A torch-format checkpoint dir drops straight into the CLI."""
