@@ -71,6 +71,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="Generation batch size (the reference loops 1-by-1)")
     parser.add_argument("--compute_dtype", type=str, default=default_config.COMPUTE_DTYPE_INFER,
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--quantize", type=str, default=None, choices=["int8"],
+                        help="Quantized generator for serving (~39 dB PSNR vs bf16)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--no_pallas", action="store_true")
     return parser
@@ -96,6 +98,7 @@ def config_from_args(args) -> InferenceConfig:
         use_pallas=not args.no_pallas,
         mapping_params=args.mapping_params,
         latent_dim=args.latent_dim,
+        quantize=args.quantize,
     )
 
 

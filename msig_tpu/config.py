@@ -173,3 +173,5 @@ class InferenceConfig:
     # EXTENSION (not in reference): latent-guided synthesis via MappingNetwork
     mapping_params: Optional[str] = None
     latent_dim: int = 16
+    # Optional int8 quantized generator ('int8' | None). ~39 dB PSNR vs bf16.
+    quantize: Optional[str] = None

@@ -48,6 +48,9 @@ class InferenceEngine:
     image_size: int
     batch_size: int
     compute_dtype: jnp.dtype = jnp.bfloat16
+    # int8 quantized generator (msig_tpu/infer/quantized.py): ~39 dB PSNR vs
+    # the bf16 path; slightly faster on v5e. Opt-in for serving.
+    quantize_int8: bool = False
 
     @staticmethod
     def build(
@@ -76,6 +79,7 @@ class InferenceEngine:
             image_size=cfg.image_size,
             batch_size=cfg.batch_size,
             compute_dtype=dtype,
+            quantize_int8=getattr(cfg, "quantize", None) == "int8",
         )
 
     # ------------------------------------------------------------------
@@ -122,6 +126,29 @@ class InferenceEngine:
     # ------------------------------------------------------------------
     def _generate_fn(self):
         gen = self.generator
+
+        if self.quantize_int8:
+            from msig_tpu.infer.quantized import (
+                quantize_generator_params,
+                quantized_generator_apply,
+            )
+
+            n_res = gen.n_residual_blocks
+            q = quantize_generator_params(
+                jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), self.gen_params),
+                n_res,
+            )
+
+            def generate_q(_params, imgs_u8, styles):
+                if imgs_u8.dtype != jnp.uint8:
+                    imgs_u8 = jnp.clip(
+                        jnp.round((imgs_u8.astype(jnp.float32) + 1.0) * 127.5), 0, 255
+                    ).astype(jnp.uint8)
+                return quantized_generator_apply(
+                    q, imgs_u8, styles.astype(jnp.float32), n_res=n_res
+                )
+
+            return jax.jit(generate_q, donate_argnums=(1,))
 
         def generate(params, imgs_u8, styles):
             x = prepare_images(imgs_u8, self.compute_dtype)

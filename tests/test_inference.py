@@ -141,6 +141,19 @@ class TestInferenceCLI:
         cfg = self._icfg(trained_ckpt, "out_empty", input_dir=str(empty))
         assert cli.main(cfg) == 1
 
+    def test_int8_quantized_engine(self, trained_ckpt):
+        import inference as cli
+
+        cfg = self._icfg(trained_ckpt, "out_int8", quantize="int8", style_mode="average")
+        assert cli.main(cfg) == 0
+        assert len(os.listdir(cfg.output_dir)) == 4
+        # int8 and fp32 outputs visually close (same checkpoint, same mode)
+        ref_cfg = self._icfg(trained_ckpt, "out_int8_ref", style_mode="average")
+        assert cli.main(ref_cfg) == 0
+        a = np.asarray(Image.open(os.path.join(cfg.output_dir, "s0.jpg")), dtype=np.float32)
+        b = np.asarray(Image.open(os.path.join(ref_cfg.output_dir, "s0.jpg")), dtype=np.float32)
+        assert np.mean(np.abs(a - b)) < 12.0  # small perceptual delta in u8 space
+
     def test_save_grid_writes_comparison(self, trained_ckpt):
         import inference as cli
 
