@@ -57,7 +57,13 @@ def quantize_generator_params(params: Dict[str, Any], n_residual_blocks: int) ->
             sm = rb[a]["style_mod"]
             q[f"res{i}_{a}_k"] = sm["kernel"]
             q[f"res{i}_{a}_b"] = sm["bias"]
-    q["out_kernel"] = p["dec_conv_out"]["kernel"]
+    # Final conv is NOT IN-followed: quantize with explicit per-out-channel
+    # weight scales for a true dequant before tanh.
+    wout = jnp.asarray(p["dec_conv_out"]["kernel"], jnp.float32)
+    wamax = jnp.max(jnp.abs(wout), axis=(0, 1, 2))
+    ws = jnp.where(wamax > 0, wamax / 127.0, 1.0)
+    q["out_kernel_i8"] = jnp.clip(jnp.round(wout / ws), -127, 127).astype(jnp.int8)
+    q["out_wscale"] = ws
     q["out_bias"] = p["dec_conv_out"]["bias"]
     return q
 
@@ -68,6 +74,17 @@ def _requant(x: jax.Array) -> jax.Array:
     amax = jnp.max(jnp.abs(x), axis=(1, 2, 3), keepdims=True).astype(jnp.float32)
     scale = jnp.where(amax > 0, 127.0 / amax, 1.0).astype(x.dtype)
     return jnp.clip(jnp.round((x * scale).astype(jnp.float32)), -127, 127).astype(jnp.int8)
+
+
+def _requant_with_inv_scale(x: jax.Array):
+    """Like _requant but also returns the inverse scale for a true dequant
+    (used before the final, non-IN-followed conv)."""
+    amax = jnp.max(jnp.abs(x), axis=(1, 2, 3), keepdims=True).astype(jnp.float32)
+    scale = jnp.where(amax > 0, 127.0 / amax, 1.0)
+    xi = jnp.clip(
+        jnp.round((x * scale.astype(x.dtype)).astype(jnp.float32)), -127, 127
+    ).astype(jnp.int8)
+    return xi, 1.0 / scale
 
 
 def _conv_i8(x_i8: jax.Array, w_i8: jax.Array, stride: int, pad, lhs_dilation=None) -> jax.Array:
@@ -125,11 +142,9 @@ def quantized_generator_apply(
     h = _conv_i8(_requant(h), q["dec_up1"], 1, ((2, 2), (2, 2)), lhs_dilation=(2, 2))
     h = jnp.maximum(instance_norm(h.astype(jnp.bfloat16)), 0)
 
-    # Final RGB conv + tanh in bf16 (not IN-followed -> needs true values).
-    hb = h.astype(jnp.bfloat16)
-    hb = jnp.pad(hb, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
-    out = jax.lax.conv_general_dilated(
-        hb, q["out_kernel"].astype(jnp.bfloat16), (1, 1), ((0, 0), (0, 0)),
-        dimension_numbers=_DN,
-    ) + q["out_bias"].astype(jnp.bfloat16)
-    return jnp.tanh(out).astype(out_dtype)
+    # Final RGB conv in int8 with a true dequant (not IN-followed), then tanh.
+    hi, inv_s = _requant_with_inv_scale(h)
+    hi = jnp.pad(hi, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
+    y = _conv_i8(hi, q["out_kernel_i8"], 1, ((0, 0), (0, 0)))
+    yf = y.astype(jnp.float32) * (q["out_wscale"][None, None, None, :] * inv_s)
+    return jnp.tanh(yf + q["out_bias"]).astype(out_dtype)
