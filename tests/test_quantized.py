@@ -43,6 +43,21 @@ class TestQuantizedGenerator:
         assert np.all(np.abs(out) <= 1.0)
         assert np.isfinite(out).all()
 
+    def test_fused_epilogue_matches_unfused(self):
+        gen = StyleCycleGANGenerator(style_dim=16, n_residual_blocks=2)
+        rng = np.random.default_rng(4)
+        img_u8 = rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8)
+        style = jnp.asarray(rng.standard_normal((2, 16)).astype(np.float32))
+        params = gen.init(jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)), style)
+        q = quantize_generator_params(params, 2)
+        # 32x32 input -> 8x8x256 resblock slab: supported by the kernels
+        a = np.asarray(quantized_generator_apply(q, jnp.asarray(img_u8), style,
+                                                 n_res=2, fused_epilogue=False))
+        b = np.asarray(quantized_generator_apply(q, jnp.asarray(img_u8), style,
+                                                 n_res=2, fused_epilogue=True))
+        psnr = _psnr(a, b)
+        assert psnr > 35.0, f"fused epilogue diverges: {psnr:.1f} dB"
+
     def test_jittable(self):
         gen = StyleCycleGANGenerator(style_dim=8, n_residual_blocks=1)
         rng = np.random.default_rng(2)
