@@ -115,6 +115,9 @@ def adain_residual_requant(x_i32, gamma, beta, residual, eps: float = 1e-5):
             jax.ShapeDtypeStruct((b, s, c), residual.dtype),
             jax.ShapeDtypeStruct((b, s, c), jnp.int8),
         ],
+        # in 4MB + res 2MB + out 2MB+1MB, double-buffered, exceeds the 16MB
+        # default scoped limit — raise it (v5e VMEM accommodates this).
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(x_i32, gamma.reshape(b, 1, c), beta.reshape(b, 1, c), residual)
     return h, o
