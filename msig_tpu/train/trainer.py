@@ -222,7 +222,15 @@ class Trainer:
 
             epoch_metrics: List[Dict] = []
             t0 = time.time()
-            for i, batch in enumerate(self.loader.epoch(epoch)):
+            batches = self.loader.epoch(epoch)
+            try:  # tqdm progress like the reference (trainer.py:300); optional
+                from tqdm import tqdm
+
+                batches = tqdm(batches, total=steps,
+                               desc=f"Epoch {epoch + 1}/{cfg.epochs}", leave=False)
+            except ImportError:
+                pass
+            for i, batch in enumerate(batches):
                 self.state, metrics = self.train_step(
                     self.state, batch, self.vgg_params, g_lr, d_lr, w_vec
                 )

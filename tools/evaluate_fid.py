@@ -9,6 +9,11 @@ self-consistent across runs of this framework, not comparable to published
 InceptionV3 FID numbers. See msig_tpu/eval/fid.py.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 
