@@ -68,6 +68,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="Trace N training steps with jax.profiler, then exit")
     parser.add_argument("--r1_gamma", type=float, default=0.0,
                         help="EXTENSION: R1 gradient-penalty weight (0 = reference parity)")
+    parser.add_argument("--remat", action="store_true",
+                        help="Rematerialize generator forwards (for 512x512 training)")
+    parser.add_argument("--multihost", action="store_true",
+                        help="Initialize jax.distributed for multi-host (DCN) training")
     return parser
 
 
@@ -95,6 +99,8 @@ def config_from_args(args) -> TrainConfig:
         use_pallas=not args.no_pallas,
         profile_steps=args.profile_steps,
         r1_gamma=args.r1_gamma,
+        remat=args.remat,
+        multihost=args.multihost,
     )
 
 
@@ -102,6 +108,11 @@ def main(cfg: TrainConfig) -> int:
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
     from msig_tpu.data import MultiDomainDataset
     from msig_tpu.train.trainer import Trainer
+
+    if getattr(cfg, "multihost", False):
+        from msig_tpu.parallel import initialize_multihost
+
+        initialize_multihost()
 
     wandb_run = None
     if cfg.wandb:

@@ -138,6 +138,11 @@ class TrainConfig:
     profile_steps: int = 0  # >0: trace N steps with jax.profiler, then exit
     # EXTENSION (not in reference): R1 gradient penalty weight; 0 = parity.
     r1_gamma: float = 0.0
+    # Rematerialize generator forwards (jax.checkpoint) — enables 512x512
+    # training within single-chip HBM at ~1/3 extra FLOPs.
+    remat: bool = False
+    # Multi-host (DCN) training: call jax.distributed.initialize at startup.
+    multihost: bool = False
 
     @property
     def experiment_name(self) -> str:

@@ -87,9 +87,20 @@ def jit_train_step(train_step, mesh: Optional[Mesh]):
 
 
 def initialize_multihost() -> None:
-    """Multi-host DCN init (no-op when single-process)."""
-    if jax.process_count() == 1:
-        try:
-            jax.distributed.initialize()
-        except Exception:  # already initialized or single-host CLI run
-            pass
+    """Multi-host DCN init: ``jax.distributed.initialize`` before any backend
+    use. Must run first thing in the process; safe no-op on a single host
+    without a coordinator configured."""
+    import os
+
+    try:
+        jax.distributed.initialize()
+    except Exception as e:  # single-host run / already initialized
+        if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+            "COORDINATOR_ADDRESS"
+        ):
+            raise
+        import logging
+
+        logging.getLogger(__name__).info(
+            "jax.distributed not initialized (single-host run): %s", e
+        )

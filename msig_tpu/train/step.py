@@ -49,6 +49,7 @@ def make_train_step(
     ema_beta: float,
     compute_dtype=jnp.float32,
     r1_gamma: float = 0.0,
+    remat: bool = False,
 ):
     """Build the fused step. Returns fn(state, batch, vgg_params, g_lr, d_lr, w).
 
@@ -56,11 +57,18 @@ def make_train_step(
     discriminator loss — an EXTENSION beyond the reference (which trains
     with plain LSGAN only, trainer.py:139-153); at the default 0.0 the loss
     surface is exactly the reference's.
+
+    ``remat=True`` wraps the generator forwards in ``jax.checkpoint``
+    (rematerialization): the G phase holds 5 generator activations at once
+    (identity, two fakes, two cycles), which at 512x512 exceeds single-chip
+    HBM — remat trades ~1/3 more FLOPs for activation memory.
     """
 
     gen = models.generator
     se = models.style_encoder
     disc = models.discriminator
+
+    gen_apply = jax.checkpoint(gen.apply) if remat else gen.apply
 
     def train_step(
         state: TrainState,
@@ -81,14 +89,14 @@ def make_train_step(
             style_A = se.apply(gen_params["SE_A"], real_A, y_org)
             style_B = se.apply(gen_params["SE_B"], real_B, y_trg)
 
-            id_B = gen.apply(gen_params["G_A2B"], real_B, style_B)
+            id_B = gen_apply(gen_params["G_A2B"], real_B, style_B)
             loss_identity = l1_loss(id_B, real_B)
 
-            fake_B = gen.apply(gen_params["G_A2B"], real_A, style_B)
+            fake_B = gen_apply(gen_params["G_A2B"], real_A, style_B)
             loss_gan_A2B = lsgan_real(disc.apply(disc_params["D_B"], fake_B, y_trg))
             content_B, style_loss_B = style_content_loss(vgg_params, fake_B, real_B, real_A)
 
-            fake_A = gen.apply(gen_params["G_B2A"], real_B, style_A)
+            fake_A = gen_apply(gen_params["G_B2A"], real_B, style_A)
             loss_gan_B2A = lsgan_real(disc.apply(disc_params["D_A"], fake_A, y_org))
             content_A, style_loss_A = style_content_loss(vgg_params, fake_A, real_A, real_B)
 
@@ -96,8 +104,8 @@ def make_train_step(
             loss_style = (style_loss_A + style_loss_B) / 2
             loss_content = (content_A + content_B) / 2
 
-            cyc_A = gen.apply(gen_params["G_B2A"], fake_B, style_A)
-            cyc_B = gen.apply(gen_params["G_A2B"], fake_A, style_B)
+            cyc_A = gen_apply(gen_params["G_B2A"], fake_B, style_A)
+            cyc_B = gen_apply(gen_params["G_A2B"], fake_A, style_B)
             loss_cycle = (l1_loss(cyc_A, real_A) + l1_loss(cyc_B, real_B)) / 2
 
             individual = {

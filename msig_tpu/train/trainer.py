@@ -82,6 +82,7 @@ class Trainer:
             make_train_step(
                 self.models, tx_g, tx_d, cfg.ema_beta, dtype,
                 r1_gamma=getattr(cfg, "r1_gamma", 0.0),
+                remat=getattr(cfg, "remat", False),
             ),
             self.mesh,
         )
