@@ -119,8 +119,20 @@ class InferenceEngine:
             rng = np.random.default_rng(seed)
             files = [files[i] for i in rng.choice(len(files), max_styles, replace=False)]
         logger.info("Loading %d style vectors from %s", len(files), ref_domain_dir)
+
+        def safe_load(p):
+            try:
+                return load_inference_image(p, self.image_size)
+            except Exception as e:  # skip unreadable refs (inference.py:121-123)
+                logger.warning("Failed to process style image %s: %s", p, e)
+                return None
+
         with ThreadPoolExecutor(4) as pool:
-            imgs = list(pool.map(lambda p: load_inference_image(p, self.image_size), files))
+            imgs = [a for a in pool.map(safe_load, files) if a is not None]
+        if not imgs:
+            raise ValueError(
+                f"No valid style vectors could be extracted from {ref_domain_dir}"
+            )
         return self.encode_styles(np.stack(imgs), domain_idx)
 
     # ------------------------------------------------------------------
@@ -209,10 +221,19 @@ class InferenceEngine:
         files = list_image_files(input_dir)
         if not files:
             return
+
+        def safe_load(p):
+            try:
+                return load_inference_image(p, self.image_size)
+            except Exception as e:  # per-image skip (reference inference.py:302-305)
+                logger.warning("Error processing %s: %s", os.path.basename(p), e)
+                return None
+
         with ThreadPoolExecutor(4) as pool:
             for i in range(0, len(files), self.batch_size):
                 chunk = files[i : i + self.batch_size]
-                imgs = list(
-                    pool.map(lambda p: load_inference_image(p, self.image_size), chunk)
-                )
-                yield np.stack(imgs), [os.path.basename(p) for p in chunk]
+                loaded = list(pool.map(safe_load, chunk))
+                kept = [(a, os.path.basename(p)) for a, p in zip(loaded, chunk) if a is not None]
+                if not kept:
+                    continue
+                yield np.stack([a for a, _ in kept]), [n for _, n in kept]

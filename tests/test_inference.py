@@ -133,6 +133,24 @@ class TestInferenceCLI:
         with pytest.raises(ValueError):
             cli.main(cfg)
 
+    def test_corrupt_input_skipped(self, trained_ckpt, tmp_path):
+        """A broken image is skipped, the rest process (inference.py:302-305)."""
+        import shutil
+
+        import inference as cli
+
+        _, root, tcfg = trained_ckpt
+        mixed = tmp_path / "mixed"
+        mixed.mkdir()
+        for f in sorted(os.listdir(tcfg.source_dir))[:2]:
+            shutil.copy(os.path.join(tcfg.source_dir, f), mixed / f)
+        (mixed / "broken.jpg").write_bytes(b"not an image at all")
+        cfg = self._icfg(trained_ckpt, "out_corrupt", input_dir=str(mixed))
+        assert cli.main(cfg) == 0
+        outs = set(os.listdir(cfg.output_dir))
+        assert "broken.jpg" not in outs
+        assert len(outs) == 2
+
     def test_empty_input_dir_exit_code_1(self, trained_ckpt, tmp_path):
         import inference as cli
 
