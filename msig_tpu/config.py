@@ -65,6 +65,20 @@ INFERENCE_USE_EMA = True
 INFERENCE_STYLE_MODE = "interpolate"
 INFERENCE_NOISE_LEVEL = 0.1
 
+# ---------------------------------------------------------------------------
+# Dead reference surface, kept ONLY for attribute parity (a user importing
+# this module in place of the reference's config finds every name). None of
+# these is read by the reference either (SURVEY.md §2.4): INFERENCE_USE_EMA
+# is unconditional there (inference.py:46-53); the METRICS_*/VAE settings and
+# INFERENCE_DOMAIN_ID/INFERENCE_STYLE_DIM are never referenced.
+# ---------------------------------------------------------------------------
+INFERENCE_DOMAIN_ID = 1
+METRICS_INPUT_DIR = "./stylecyclegan/output/multi_domain_exp/interpolate"
+METRICS_TARGET_DIR = "./experiments/plant_village_raw/train/Tomato_Bacterial_spot"
+INFERENCE_VAE_CHECKPOINT = None
+INFERENCE_VAE_LATENT_DIM = 16
+INFERENCE_STYLE_DIM = 64
+
 # EMA / loss-weight schedule constants (reference trainer.py:43,68)
 EMA_BETA = 0.995
 WARMUP_EPOCHS = 10
