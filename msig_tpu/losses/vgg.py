@@ -92,30 +92,42 @@ def get_vgg_params(path: Optional[str]) -> VGGParams:
     return init_vgg_params()
 
 
-def _normalize_imagenet(x: jax.Array) -> jax.Array:
+def _normalize_imagenet(x: jax.Array, dtype=jnp.float32) -> jax.Array:
     """[-1, 1] -> [0, 1] -> ImageNet normalization (losses.py:49-56)."""
     x01 = (x.astype(jnp.float32) + 1.0) * 0.5
     mean = jnp.asarray(_IMAGENET_MEAN)
     std = jnp.asarray(_IMAGENET_STD)
-    return (x01 - mean) / std
+    return ((x01 - mean) / std).astype(dtype)
 
 
 def _max_pool_2x2(x: jax.Array) -> jax.Array:
-    return jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
-    )
+    # 2x2/stride-2 max pool as a reshape+max (equivalent for even H,W, and
+    # reverse-mode differentiable in any dtype, unlike reduce_window-max
+    # with a non-f32 init on this JAX version).
+    b, h, w, c = x.shape
+    return jnp.max(x.reshape(b, h // 2, 2, w // 2, 2, c), axis=(2, 4))
 
 
-def vgg_features(params: VGGParams, img: jax.Array, upto: int = 5) -> List[jax.Array]:
-    """ReLU outputs of the first ``upto`` convs of VGG19 for a [-1,1] NHWC image."""
-    x = _normalize_imagenet(img)
+def vgg_features(
+    params: VGGParams, img: jax.Array, upto: int = 5, dtype=None
+) -> List[jax.Array]:
+    """ReLU outputs of the first ``upto`` convs of VGG19 for a [-1,1] NHWC image.
+
+    ``dtype`` sets the conv compute precision (default: the input's dtype, so
+    a bf16 train step runs the perceptual forward on the bf16 MXU path; the
+    Gram matrices and L1 reductions downstream are always fp32).
+    """
+    dtype = dtype or img.dtype
+    if dtype == jnp.uint8:
+        dtype = jnp.float32
+    x = _normalize_imagenet(img, dtype)
     feats: List[jax.Array] = []
     for i in range(upto):
         p = params[f"conv{i}"]
         x = jax.lax.conv_general_dilated(
-            x, p["kernel"], (1, 1), ((1, 1), (1, 1)),
+            x, p["kernel"].astype(dtype), (1, 1), ((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ) + p["bias"]
+        ) + p["bias"].astype(dtype)
         x = jax.nn.relu(x)
         feats.append(x)
         if i in _POOL_AFTER and i + 1 < upto:
