@@ -166,7 +166,15 @@ def make_train_step(
             opt_d=opt_d,
             step=state.step + 1,
         )
-        metrics = {"D_loss": d_loss, "G_loss": g_loss, **individual}
+        # Pre-clip global grad norms — the functional analogue of the
+        # reference's wandb.watch gradient logging (trainer.py:292-294).
+        metrics = {
+            "D_loss": d_loss,
+            "G_loss": g_loss,
+            **individual,
+            "g_grad_norm": optax.global_norm(g_grads),
+            "d_grad_norm": optax.global_norm(d_grads),
+        }
         return new_state, metrics
 
     return train_step

@@ -47,8 +47,11 @@ class TestTrainStep:
         for k, v in metrics.items():
             assert np.isfinite(float(v)), k
         assert int(new_state.step) == 1
-        expected = {"D_loss", "G_loss", "gan", "cycle", "identity", "content", "style"}
+        expected = {"D_loss", "G_loss", "gan", "cycle", "identity", "content", "style",
+                    "g_grad_norm", "d_grad_norm"}
         assert set(metrics.keys()) == expected
+        assert float(metrics["g_grad_norm"]) > 0
+        assert float(metrics["d_grad_norm"]) > 0
 
     def test_params_change_and_ema_recurrence(self, setup):
         cfg, models, state, step, vgg, batch, w = setup
