@@ -111,6 +111,13 @@ class TestEndToEnd:
         for x, y in zip(jax.tree.leaves(want), jax.tree.leaves(g)):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
+    def test_profile_steps_writes_trace(self, trained, tmp_path):
+        trace_dir = trained.profile_steps(n_steps=1, trace_dir=str(tmp_path / "prof"))
+        assert os.path.isdir(trace_dir)
+        # jax.profiler writes a plugins/profile/<ts>/ tree with trace files
+        found = [f for _, _, fs in os.walk(trace_dir) for f in fs]
+        assert found, "profiler produced no files"
+
     def test_ema_differs_from_raw_after_training(self, trained):
         raw = jax.tree.leaves(jax.device_get(trained.state.gen_params))[0]
         ema = jax.tree.leaves(jax.device_get(trained.state.ema_params))[0]
