@@ -137,6 +137,17 @@ class InferenceEngine:
 
     # ------------------------------------------------------------------
     def _generate_fn(self):
+        # Cache the compiled function: translate_batches may be called many
+        # times (e.g. once per style mode for --save_grid) and a fresh jit
+        # wrapper per call would recompile the identical program.
+        cached = getattr(self, "_generate_jit", None)
+        if cached is not None:
+            return cached
+        fn = self._build_generate_fn()
+        object.__setattr__(self, "_generate_jit", fn)
+        return fn
+
+    def _build_generate_fn(self):
         gen = self.generator
 
         if self.quantize_int8:
