@@ -153,11 +153,72 @@ def bench_train(batch=32, iters=10, warmup=2, image_size=256):
     return ms
 
 
+def bench_data(n_images=256, image_size=256, threads=4):
+    """Host input-pipeline throughput: decode + crop + rotate, img/s.
+
+    Uses the native C++ loader when built (PIL fallback otherwise); measures
+    the feeding capacity of THIS host (note: the build container has 1 CPU
+    core; production TPU hosts have dozens).
+    """
+    import shutil
+    import tempfile
+
+    import numpy as np
+    from PIL import Image
+
+    from msig_tpu.data import TrainLoader, MultiDomainDataset
+    from msig_tpu.data import native_loader
+
+    tmp = tempfile.mkdtemp(prefix="msig_bench_data_")
+    try:
+        rng = np.random.default_rng(0)
+        os.makedirs(f"{tmp}/src")
+        os.makedirs(f"{tmp}/ref/D")
+        for i in range(32):
+            Image.fromarray(
+                rng.integers(0, 255, (512, 512, 3), dtype=np.uint8)
+            ).save(f"{tmp}/src/{i}.jpg", quality=90)
+        for i in range(8):
+            Image.fromarray(
+                rng.integers(0, 255, (512, 512, 3), dtype=np.uint8)
+            ).save(f"{tmp}/ref/D/{i}.jpg", quality=90)
+        ds = MultiDomainDataset.build(f"{tmp}/src", f"{tmp}/ref")
+        loader = TrainLoader(ds, batch_size=16, image_size=image_size,
+                             num_threads=threads)
+        # warm
+        next(iter(loader.epoch(0)))
+        t0 = time.perf_counter()
+        count = 0
+        epoch = 1
+        while count < n_images:
+            for b in loader.epoch(epoch):
+                count += 2 * b["source"].shape[0]  # source + target decodes
+                if count >= n_images:
+                    break
+            epoch += 1
+        dt = time.perf_counter() - t0
+        print(f"  native_loader={'yes' if native_loader.available() else 'no (PIL)'}",
+              file=sys.stderr)
+        return count / dt
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["inference", "train"], default="inference")
+    ap.add_argument("--mode", choices=["inference", "train", "data"], default="inference")
     ap.add_argument("--iters", type=int, default=20)
     args = ap.parse_args()
+
+    if args.mode == "data":
+        rate = bench_data()
+        print(json.dumps({
+            "metric": "input_pipeline_img_per_s_256",
+            "value": round(rate, 1),
+            "unit": "img/s/host",
+            "vs_baseline": None,
+        }))
+        return
 
     if args.mode == "train":
         ms = bench_train(iters=args.iters)

@@ -70,6 +70,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="EXTENSION: R1 gradient-penalty weight (0 = reference parity)")
     parser.add_argument("--remat", action="store_true",
                         help="Rematerialize generator forwards (for 512x512 training)")
+    parser.add_argument("--style_recon_weight", type=float, default=0.0,
+                        help="EXTENSION: style-reconstruction loss weight (0 = parity)")
     parser.add_argument("--multihost", action="store_true",
                         help="Initialize jax.distributed for multi-host (DCN) training")
     return parser
@@ -101,6 +103,7 @@ def config_from_args(args) -> TrainConfig:
         r1_gamma=args.r1_gamma,
         remat=args.remat,
         multihost=args.multihost,
+        style_recon_weight=args.style_recon_weight,
     )
 
 

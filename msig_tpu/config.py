@@ -157,6 +157,8 @@ class TrainConfig:
     remat: bool = False
     # Multi-host (DCN) training: call jax.distributed.initialize at startup.
     multihost: bool = False
+    # EXTENSION (not in reference): style-reconstruction loss weight; 0 = parity.
+    style_recon_weight: float = 0.0
 
     @property
     def experiment_name(self) -> str:

@@ -50,6 +50,7 @@ def make_train_step(
     compute_dtype=jnp.float32,
     r1_gamma: float = 0.0,
     remat: bool = False,
+    style_recon_weight: float = 0.0,
 ):
     """Build the fused step. Returns fn(state, batch, vgg_params, g_lr, d_lr, w).
 
@@ -62,6 +63,11 @@ def make_train_step(
     (rematerialization): the G phase holds 5 generator activations at once
     (identity, two fakes, two cycles), which at 512x512 exceeds single-chip
     HBM — remat trades ~1/3 more FLOPs for activation memory.
+
+    ``style_recon_weight > 0`` adds a style-reconstruction loss (EXTENSION,
+    StarGAN-v2-style): ``L1(SE_B(fake_B, y_trg), style_B)`` + the symmetric
+    A-side term, encouraging the generator to actually carry the injected
+    style. The reference has no such loss (SURVEY.md §6 caveat); 0 = parity.
     """
 
     gen = models.generator
@@ -117,6 +123,14 @@ def make_train_step(
             }
             w = {k: loss_weights[i] for i, k in enumerate(WEIGHT_KEYS)}
             g_loss = sum(individual[k] * w[k] for k in WEIGHT_KEYS)
+            if style_recon_weight > 0.0:
+                recon_B = se.apply(gen_params["SE_B"], fake_B, y_trg)
+                recon_A = se.apply(gen_params["SE_A"], fake_A, y_org)
+                loss_style_recon = (
+                    l1_loss(recon_B, style_B) + l1_loss(recon_A, style_A)
+                ) / 2
+                individual["style_recon"] = loss_style_recon
+                g_loss = g_loss + style_recon_weight * loss_style_recon
             return g_loss, (individual, fake_A, fake_B)
 
         (g_loss, (individual, fake_A, fake_B)), g_grads = jax.value_and_grad(

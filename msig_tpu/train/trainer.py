@@ -83,6 +83,7 @@ class Trainer:
                 self.models, tx_g, tx_d, cfg.ema_beta, dtype,
                 r1_gamma=getattr(cfg, "r1_gamma", 0.0),
                 remat=getattr(cfg, "remat", False),
+                style_recon_weight=getattr(cfg, "style_recon_weight", 0.0),
             ),
             self.mesh,
         )

@@ -31,6 +31,40 @@ class TestMappingNetwork:
         assert np.abs(a - b).max() > 1e-5
 
 
+class TestStyleRecon:
+    def test_style_recon_adds_term(self):
+        from msig_tpu.config import TrainConfig
+        from msig_tpu.losses import init_vgg_params
+        from msig_tpu.train import (
+            Models, create_train_state, current_loss_weights, make_optimizers,
+            make_train_step, weights_vector,
+        )
+
+        cfg = TrainConfig(image_size=32, batch_size=2, style_dim=16,
+                          n_residual_blocks=1, use_pallas=False)
+        models = Models.from_config(cfg, num_domains=2)
+        state = create_train_state(cfg, models, jax.random.PRNGKey(0))
+        vgg = init_vgg_params()
+        tx_g, tx_d = make_optimizers(cfg)
+        rng = np.random.default_rng(0)
+        batch = {
+            "source": jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)),
+            "target": jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)),
+            "source_domain": jnp.zeros((2,), jnp.int32),
+            "target_domain": jnp.ones((2,), jnp.int32),
+        }
+        w = jnp.asarray(weights_vector(current_loss_weights(cfg.loss_weights, 0)), jnp.float32)
+        args = (jnp.float32(0.0), jnp.float32(0.0), w)
+        base = jax.jit(make_train_step(models, tx_g, tx_d, cfg.ema_beta))
+        with_sr = jax.jit(make_train_step(models, tx_g, tx_d, cfg.ema_beta,
+                                          style_recon_weight=2.0))
+        _, m0 = base(state, batch, vgg, *args)
+        _, m1 = with_sr(state, batch, vgg, *args)
+        assert "style_recon" not in m0
+        assert float(m1["style_recon"]) > 0
+        assert float(m1["G_loss"]) > float(m0["G_loss"])
+
+
 class TestR1:
     def test_penalty_positive_and_finite(self):
         disc = MultiDomainDiscriminator(num_domains=2)
