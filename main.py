@@ -72,6 +72,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="Rematerialize generator forwards (for 512x512 training)")
     parser.add_argument("--style_recon_weight", type=float, default=0.0,
                         help="EXTENSION: style-reconstruction loss weight (0 = parity)")
+    parser.add_argument("--diversity_weight", type=float, default=0.0,
+                        help="EXTENSION: diversity-sensitive loss weight (0 = parity)")
     parser.add_argument("--multihost", action="store_true",
                         help="Initialize jax.distributed for multi-host (DCN) training")
     return parser
@@ -104,6 +106,7 @@ def config_from_args(args) -> TrainConfig:
         remat=args.remat,
         multihost=args.multihost,
         style_recon_weight=args.style_recon_weight,
+        diversity_weight=args.diversity_weight,
     )
 
 

@@ -159,6 +159,8 @@ class TrainConfig:
     multihost: bool = False
     # EXTENSION (not in reference): style-reconstruction loss weight; 0 = parity.
     style_recon_weight: float = 0.0
+    # EXTENSION (not in reference): diversity loss weight; 0 = parity.
+    diversity_weight: float = 0.0
 
     @property
     def experiment_name(self) -> str:

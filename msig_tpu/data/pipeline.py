@@ -118,6 +118,7 @@ class TrainLoader:
         num_threads: int = 4,
         prefetch: int = 2,
         device_put=None,
+        second_target: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -126,31 +127,49 @@ class TrainLoader:
         self.num_threads = num_threads
         self.prefetch = prefetch
         self.device_put = device_put  # optional fn(host_batch)->device_batch
+        # EXTENSION: also sample a second image from the SAME target domain
+        # per sample (adds a 'target2' batch key) — used by the optional
+        # diversity loss; the reference has no such loss.
+        self.second_target = second_target
 
     def steps_per_epoch(self) -> int:
         return len(self.dataset) // self.batch_size
 
     def _make_batch(self, indices, rng: np.random.Generator, pool) -> Dict[str, np.ndarray]:
         picks = [self.dataset.sample_paths(i, rng) for i in indices]
+        trg2_paths = None
+        if self.second_target:
+            names = {v: k for k, v in self.dataset.domain_to_idx.items()}
+            trg2_paths = []
+            for _, _, d in picks:
+                files = self.dataset.target_files_by_domain[names[d]]
+                trg2_paths.append(files[int(rng.integers(len(files)))])
         # independent child RNGs so threads do not share generator state
-        seeds = rng.integers(0, 2**63 - 1, size=2 * len(picks))
+        seeds = rng.integers(0, 2**63 - 1, size=3 * len(picks))
 
         def load(args):
             j, (src, trg, _) = args
-            r1 = np.random.default_rng(seeds[2 * j])
-            r2 = np.random.default_rng(seeds[2 * j + 1])
-            return (
+            r1 = np.random.default_rng(seeds[3 * j])
+            r2 = np.random.default_rng(seeds[3 * j + 1])
+            out = (
                 load_train_image(src, self.image_size, r1),
                 load_train_image(trg, self.image_size, r2),
             )
+            if trg2_paths is not None:
+                r3 = np.random.default_rng(seeds[3 * j + 2])
+                out = out + (load_train_image(trg2_paths[j], self.image_size, r3),)
+            return out
 
         results = list(pool.map(load, enumerate(picks)))
-        return {
+        batch = {
             "source": np.stack([r[0] for r in results]),
             "target": np.stack([r[1] for r in results]),
             "source_domain": np.zeros(len(picks), np.int32),
             "target_domain": np.asarray([p[2] for p in picks], np.int32),
         }
+        if trg2_paths is not None:
+            batch["target2"] = np.stack([r[2] for r in results])
+        return batch
 
     def epoch(self, epoch_idx: int) -> Iterator[Dict[str, np.ndarray]]:
         """Yield batches for one epoch, prefetching in a background thread."""

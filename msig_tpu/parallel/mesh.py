@@ -71,16 +71,11 @@ def jit_train_step(train_step, mesh: Optional[Mesh]):
         return jax.jit(train_step, donate_argnums=(0,))
     repl = replicated(mesh)
     data = batch_sharding(mesh)
+    # Single shardings act as pytree prefixes: `data` applies to every key
+    # of the batch dict (including optional extras like 'target2').
     return jax.jit(
         train_step,
-        in_shardings=(
-            repl,  # state
-            {"source": data, "target": data, "source_domain": data, "target_domain": data},
-            repl,  # vgg params
-            repl,  # g_lr
-            repl,  # d_lr
-            repl,  # loss weights
-        ),
+        in_shardings=(repl, data, repl, repl, repl, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )

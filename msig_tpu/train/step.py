@@ -51,6 +51,7 @@ def make_train_step(
     r1_gamma: float = 0.0,
     remat: bool = False,
     style_recon_weight: float = 0.0,
+    diversity_weight: float = 0.0,
 ):
     """Build the fused step. Returns fn(state, batch, vgg_params, g_lr, d_lr, w).
 
@@ -68,6 +69,11 @@ def make_train_step(
     StarGAN-v2-style): ``L1(SE_B(fake_B, y_trg), style_B)`` + the symmetric
     A-side term, encouraging the generator to actually carry the injected
     style. The reference has no such loss (SURVEY.md §6 caveat); 0 = parity.
+
+    ``diversity_weight > 0`` adds a diversity-sensitive loss (EXTENSION):
+    with a second same-domain reference image in the batch (``target2``,
+    TrainLoader(second_target=True)), ``-L1(G(x, s1), G(x, s2))`` pushes
+    distinct styles to produce distinct outputs. 0 = parity.
     """
 
     gen = models.generator
@@ -131,6 +137,13 @@ def make_train_step(
                 ) / 2
                 individual["style_recon"] = loss_style_recon
                 g_loss = g_loss + style_recon_weight * loss_style_recon
+            if diversity_weight > 0.0:
+                real_B2 = prepare_images(batch["target2"], compute_dtype)
+                style_B2 = se.apply(gen_params["SE_B"], real_B2, y_trg)
+                fake_B2 = gen_apply(gen_params["G_A2B"], real_A, style_B2)
+                loss_diversity = -l1_loss(fake_B2, fake_B)
+                individual["diversity"] = loss_diversity
+                g_loss = g_loss + diversity_weight * loss_diversity
             return g_loss, (individual, fake_A, fake_B)
 
         (g_loss, (individual, fake_A, fake_B)), g_grads = jax.value_and_grad(

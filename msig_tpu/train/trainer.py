@@ -84,6 +84,7 @@ class Trainer:
                 r1_gamma=getattr(cfg, "r1_gamma", 0.0),
                 remat=getattr(cfg, "remat", False),
                 style_recon_weight=getattr(cfg, "style_recon_weight", 0.0),
+                diversity_weight=getattr(cfg, "diversity_weight", 0.0),
             ),
             self.mesh,
         )
@@ -95,6 +96,7 @@ class Trainer:
             cfg.image_size,
             seed=cfg.seed,
             device_put=(lambda b: shard_batch(self.mesh, b)) if self.mesh else None,
+            second_target=getattr(cfg, "diversity_weight", 0.0) > 0.0,
         )
 
         # Histories (reference trainer.py:71-72, utils.py:107-108)

@@ -65,6 +65,56 @@ class TestStyleRecon:
         assert float(m1["G_loss"]) > float(m0["G_loss"])
 
 
+class TestDiversity:
+    def test_diversity_loss_negative_and_gates(self):
+        from msig_tpu.config import TrainConfig
+        from msig_tpu.losses import init_vgg_params
+        from msig_tpu.train import (
+            Models, create_train_state, current_loss_weights, make_optimizers,
+            make_train_step, weights_vector,
+        )
+
+        cfg = TrainConfig(image_size=32, batch_size=2, style_dim=16,
+                          n_residual_blocks=1, use_pallas=False)
+        models = Models.from_config(cfg, num_domains=2)
+        state = create_train_state(cfg, models, jax.random.PRNGKey(0))
+        vgg = init_vgg_params()
+        tx_g, tx_d = make_optimizers(cfg)
+        rng = np.random.default_rng(0)
+        batch = {
+            "source": jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)),
+            "target": jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)),
+            "target2": jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)),
+            "source_domain": jnp.zeros((2,), jnp.int32),
+            "target_domain": jnp.ones((2,), jnp.int32),
+        }
+        w = jnp.asarray(weights_vector(current_loss_weights(cfg.loss_weights, 0)), jnp.float32)
+        step = jax.jit(make_train_step(models, tx_g, tx_d, cfg.ema_beta,
+                                       diversity_weight=1.0))
+        _, m = step(state, batch, vgg, jnp.float32(0.0), jnp.float32(0.0), w)
+        assert float(m["diversity"]) < 0  # -L1 of two distinct-style outputs
+
+    def test_loader_second_target(self, tmp_path):
+        from PIL import Image
+
+        from msig_tpu.data import MultiDomainDataset, TrainLoader
+
+        rng = np.random.default_rng(0)
+        (tmp_path / "src").mkdir()
+        for i in range(4):
+            Image.fromarray(rng.integers(0, 255, (20, 20, 3), dtype=np.uint8)).save(
+                tmp_path / "src" / f"{i}.jpg")
+        (tmp_path / "ref" / "D").mkdir(parents=True)
+        for i in range(3):
+            Image.fromarray(rng.integers(0, 255, (20, 20, 3), dtype=np.uint8)).save(
+                tmp_path / "ref" / "D" / f"{i}.jpg")
+        ds = MultiDomainDataset.build(str(tmp_path / "src"), str(tmp_path / "ref"))
+        loader = TrainLoader(ds, batch_size=2, image_size=16, second_target=True,
+                             num_threads=1)
+        b = next(iter(loader.epoch(0)))
+        assert b["target2"].shape == (2, 16, 16, 3)
+
+
 class TestR1:
     def test_penalty_positive_and_finite(self):
         disc = MultiDomainDiscriminator(num_domains=2)
