@@ -129,30 +129,24 @@ def quantized_generator_apply(
     h = _conv_i8(_requant(h), q["enc_conv2"], 2, ((1, 1), (1, 1)))
     h = jnp.maximum(instance_norm(h.astype(jnp.bfloat16)), 0)
 
-    from msig_tpu.ops import int8_epilogue
+    from msig_tpu.ops import int8_epilogue_chunked
 
     bsz, hh, ww, cc = h.shape
-    use_fused = fused_epilogue and int8_epilogue.supported((bsz, hh * ww, cc))
+    use_fused = fused_epilogue and int8_epilogue_chunked.supported((bsz, hh * ww, cc))
     if use_fused:
-        # Fused Pallas epilogues: one VMEM residency per conv output instead
-        # of XLA's multi-pass cast/norm/amax/requant chain (docs/PERF.md).
-        h_bf = h
-        h_i8 = _requant(h)
+        # Chunked two-phase Pallas epilogue for the relu (adain1) sites —
+        # stats + exact amax in one pipelined sweep, requant in a second
+        # (ops/int8_epilogue_chunked.py); adain2 + residual stays on XLA.
         for i in range(n_res):
             g1, b1 = _style_affine(style, q[f"res{i}_adain1_k"], q[f"res{i}_adain1_b"])
             g2, b2 = _style_affine(style, q[f"res{i}_adain2_k"], q[f"res{i}_adain2_b"])
-            y = _conv_i8(h_i8, q[f"res{i}_conv1"], 1, ((1, 1), (1, 1)))
-            y_i8 = int8_epilogue.adain_relu_requant(
+            y = _conv_i8(_requant(h), q[f"res{i}_conv1"], 1, ((1, 1), (1, 1)))
+            y_i8 = int8_epilogue_chunked.adain_relu_requant_chunked(
                 y.reshape(bsz, hh * ww, cc), g1, b1
             ).reshape(bsz, hh, ww, cc)
             y2 = _conv_i8(y_i8, q[f"res{i}_conv2"], 1, ((1, 1), (1, 1)))
-            h_bf3, h_i83 = int8_epilogue.adain_residual_requant(
-                y2.reshape(bsz, hh * ww, cc), g2, b2,
-                h_bf.reshape(bsz, hh * ww, cc),
-            )
-            h_bf = h_bf3.reshape(bsz, hh, ww, cc)
-            h_i8 = h_i83.reshape(bsz, hh, ww, cc)
-        h = h_bf
+            y2 = adain_modulate(y2.astype(jnp.bfloat16), g2, b2)
+            h = y2 + h
     else:
         for i in range(n_res):
             g1, b1 = _style_affine(style, q[f"res{i}_adain1_k"], q[f"res{i}_adain1_b"])
