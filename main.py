@@ -59,6 +59,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         choices=["float32", "bfloat16"])
     parser.add_argument("--vgg_weights", type=str, default=default_config.VGG_WEIGHTS_PATH,
                         help=".npz from tools/convert_vgg_weights.py (perceptual-loss weights)")
+    parser.add_argument("--allow_random_vgg", action="store_true",
+                        help="Explicitly allow training WITHOUT pretrained VGG19 weights "
+                             "(perceptual loss uses a deterministic random feature extractor; "
+                             "perceptual quality will NOT match the reference)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--no_data_parallel", action="store_true",
                         help="Disable sharding the batch over local devices")
@@ -107,6 +111,7 @@ def config_from_args(args) -> TrainConfig:
         multihost=args.multihost,
         style_recon_weight=args.style_recon_weight,
         diversity_weight=args.diversity_weight,
+        allow_random_vgg=args.allow_random_vgg,
     )
 
 
@@ -136,6 +141,23 @@ def main(cfg: TrainConfig) -> int:
         if not os.path.exists(path):
             print(f"ERROR: {what} directory not found: {path}")
             return 1
+
+    # Refuse to silently train with the random-VGG fallback: the reference
+    # loads ImageNet VGG19 (/root/reference/losses.py:15) and perceptual
+    # quality depends on it. Training without pretrained weights must be an
+    # explicit, visible decision.
+    if not cfg.vgg_weights_path and not getattr(cfg, "allow_random_vgg", False):
+        print(
+            "ERROR: no pretrained VGG19 weights (--vgg_weights FILE.npz). The "
+            "perceptual style/content loss would fall back to a RANDOM feature "
+            "extractor, which does not match the reference's ImageNet-VGG19 "
+            "loss. Convert weights with tools/convert_vgg_weights.py, or pass "
+            "--allow_random_vgg to proceed anyway."
+        )
+        return 1
+    if cfg.vgg_weights_path and not os.path.exists(cfg.vgg_weights_path):
+        print(f"ERROR: --vgg_weights file not found: {cfg.vgg_weights_path}")
+        return 1
 
     dataset = MultiDomainDataset.build(cfg.source_dir, cfg.target_dir)
     print(f"Found {len(dataset.source_files)} source images")

@@ -161,6 +161,11 @@ class TrainConfig:
     style_recon_weight: float = 0.0
     # EXTENSION (not in reference): diversity loss weight; 0 = parity.
     diversity_weight: float = 0.0
+    # Explicit opt-in for training WITHOUT pretrained VGG19 weights (the
+    # perceptual loss then uses the deterministic random feature extractor
+    # in losses/vgg.py). The training CLI refuses to run without either
+    # vgg_weights_path or this flag.
+    allow_random_vgg: bool = False
 
     @property
     def experiment_name(self) -> str:

@@ -85,11 +85,17 @@ class InferenceEngine:
     # ------------------------------------------------------------------
     def encode_styles(self, images_u8: np.ndarray, domain_idx: int) -> jax.Array:
         """Batched style extraction: uint8 [N,H,W,3] -> style bank [N,S] (fp32)."""
+        # Cache the compiled encoder across calls (multi-domain preloads would
+        # otherwise recompile an identical program per call).
+        encode = getattr(self, "_encode_jit", None)
+        if encode is None:
 
-        @jax.jit
-        def encode(params, imgs, idx):
-            x = prepare_images(imgs, self.compute_dtype)
-            return self.style_encoder.apply(params, x, idx).astype(jnp.float32)
+            @jax.jit
+            def encode(params, imgs, idx):
+                x = prepare_images(imgs, self.compute_dtype)
+                return self.style_encoder.apply(params, x, idx).astype(jnp.float32)
+
+            object.__setattr__(self, "_encode_jit", encode)
 
         n = images_u8.shape[0]
         bank = []
@@ -117,7 +123,11 @@ class InferenceEngine:
             raise ValueError(f"No images found in {ref_domain_dir}")
         if max_styles and len(files) > max_styles:
             rng = np.random.default_rng(seed)
-            files = [files[i] for i in rng.choice(len(files), max_styles, replace=False)]
+            # Sorted indices keep the bank in directory order, so bank[0] stays
+            # "the first reference image" for style_mode='specific'
+            # (reference inference.py:166-168).
+            chosen = np.sort(rng.choice(len(files), max_styles, replace=False))
+            files = [files[i] for i in chosen]
         logger.info("Loading %d style vectors from %s", len(files), ref_domain_dir)
 
         def safe_load(p):
@@ -226,9 +236,14 @@ class InferenceEngine:
             yield np.asarray(out)[:n], names
 
     def iter_input_batches(
-        self, input_dir: str
+        self, input_dir: str, prefetch: int = 2
     ) -> Iterator[Tuple[np.ndarray, List[str]]]:
-        """Decode input images in a thread pool, yielding fixed-size batches."""
+        """Decode input images in a thread pool, yielding fixed-size batches.
+
+        A producer thread decodes ``prefetch`` batches ahead (same pattern as
+        ``TrainLoader.epoch``) so JPEG decode overlaps device compute instead
+        of running synchronously between generation steps.
+        """
         files = list_image_files(input_dir)
         if not files:
             return
@@ -240,11 +255,39 @@ class InferenceEngine:
                 logger.warning("Error processing %s: %s", os.path.basename(p), e)
                 return None
 
-        with ThreadPoolExecutor(4) as pool:
-            for i in range(0, len(files), self.batch_size):
-                chunk = files[i : i + self.batch_size]
-                loaded = list(pool.map(safe_load, chunk))
-                kept = [(a, os.path.basename(p)) for a, p in zip(loaded, chunk) if a is not None]
-                if not kept:
-                    continue
-                yield np.stack([a for a, _ in kept]), [n for _, n in kept]
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
+        _END = object()
+
+        def producer():
+            try:
+                with ThreadPoolExecutor(4) as pool:
+                    for i in range(0, len(files), self.batch_size):
+                        chunk = files[i : i + self.batch_size]
+                        loaded = list(pool.map(safe_load, chunk))
+                        kept = [
+                            (a, os.path.basename(p))
+                            for a, p in zip(loaded, chunk)
+                            if a is not None
+                        ]
+                        if not kept:
+                            continue
+                        q.put(
+                            (
+                                np.stack([a for a, _ in kept]),
+                                [n for _, n in kept],
+                            )
+                        )
+            finally:
+                q.put(_END)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            yield item
+        t.join()

@@ -36,6 +36,17 @@ def data_mesh_for_batch(batch_size: int) -> Optional[Mesh]:
     k = len(devs)
     while k > 1 and batch_size % k != 0:
         k -= 1
+    if 1 < k < len(devs):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "batch_size=%d is not divisible by %d devices; using %d devices "
+            "(the rest stay idle). Pick a batch size divisible by the device "
+            "count to use the whole slice.",
+            batch_size,
+            len(devs),
+            k,
+        )
     return make_mesh(devs[:k]) if k > 1 else None
 
 

@@ -44,6 +44,26 @@ class TestTrainCLI:
         cfg2 = TrainConfig(exp_name="custom")
         assert cfg2.experiment_name == "custom"
 
+    def test_refuses_silent_random_vgg(self, tmp_path):
+        """No silent random-VGG training: without pretrained weights the CLI
+        must fail loudly unless --allow_random_vgg is passed explicitly."""
+        src = tmp_path / "src"
+        trg = tmp_path / "trg"
+        src.mkdir()
+        trg.mkdir()
+        base = ["--source_dir", str(src), "--target_dir", str(trg)]
+        args = train_cli.build_arg_parser().parse_args(base)
+        assert args.allow_random_vgg is False
+        rc = train_cli.main(train_cli.config_from_args(args))
+        assert rc == 1  # refused: no --vgg_weights, no --allow_random_vgg
+
+        # A nonexistent weights file is also a hard error.
+        args = train_cli.build_arg_parser().parse_args(
+            base + ["--vgg_weights", str(tmp_path / "missing.npz")]
+        )
+        rc = train_cli.main(train_cli.config_from_args(args))
+        assert rc == 1
+
     def test_use_ema_parses_falsy_strings(self):
         """The reference's type=bool flag bug (any string truthy) is fixed."""
         args = train_cli.build_arg_parser().parse_args(["--use_ema", "false"])
