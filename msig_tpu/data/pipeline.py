@@ -180,17 +180,20 @@ class TrainLoader:
         stop = threading.Event()
 
         def producer():
-            with ThreadPoolExecutor(self.num_threads) as pool:
-                for s in range(steps):
-                    if stop.is_set():
-                        return
-                    batch = self._make_batch(
-                        indices[s * self.batch_size : (s + 1) * self.batch_size], rng, pool
-                    )
-                    if self.device_put is not None:
-                        batch = self.device_put(batch)
-                    q.put(batch)
-            q.put(None)
+            try:
+                with ThreadPoolExecutor(self.num_threads) as pool:
+                    for s in range(steps):
+                        if stop.is_set():
+                            return
+                        batch = self._make_batch(
+                            indices[s * self.batch_size : (s + 1) * self.batch_size], rng, pool
+                        )
+                        if self.device_put is not None:
+                            batch = self.device_put(batch)
+                        q.put(batch)
+                q.put(None)
+            except BaseException as e:  # propagate instead of hanging the consumer
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -199,6 +202,12 @@ class TrainLoader:
                 batch = q.get()
                 if batch is None:
                     return
+                if isinstance(batch, BaseException):
+                    # Same outcome as the reference's DataLoader: an unreadable
+                    # training image fails the run loudly (the reference has no
+                    # skip path in training, /root/reference/dataset.py:66-88) —
+                    # but never a silent hang.
+                    raise batch
                 yield batch
         finally:
             stop.set()

@@ -57,14 +57,29 @@ def quantize_generator_params(params: Dict[str, Any], n_residual_blocks: int) ->
             sm = rb[a]["style_mod"]
             q[f"res{i}_{a}_k"] = sm["kernel"]
             q[f"res{i}_{a}_b"] = sm["bias"]
+    # Packed [9C, C] trunk weights for the fused Pallas conv kernels
+    # (ops/fused_conv_int8.py); tiny, always precomputed.
+    from msig_tpu.ops import fused_conv_int8 as _fc
+
+    for i in range(n_residual_blocks):
+        q[f"res{i}_conv1_p"] = _fc.pack_weights(q[f"res{i}_conv1"])
+        q[f"res{i}_conv2_p"] = _fc.pack_weights(q[f"res{i}_conv2"])
+    cu0 = q["dec_up0"].shape[2]
+    cu1 = q["dec_up1"].shape[2]
+    q["up0_p"] = _fc.pack_convt_weights(q["dec_up0"], cu0, q["dec_up0"].shape[3])
+    q["up1_p"] = _fc.pack_convt_weights(q["dec_up1"], cu1, q["dec_up1"].shape[3])
     # Final conv is NOT IN-followed: quantize with explicit per-out-channel
     # weight scales for a true dequant before tanh.
     wout = jnp.asarray(p["dec_conv_out"]["kernel"], jnp.float32)
     wamax = jnp.max(jnp.abs(wout), axis=(0, 1, 2))
     ws = jnp.where(wamax > 0, wamax / 127.0, 1.0)
-    q["out_kernel_i8"] = jnp.clip(jnp.round(wout / ws), -127, 127).astype(jnp.int8)
-    q["out_wscale"] = ws
-    q["out_bias"] = p["dec_conv_out"]["bias"]
+    w_i8 = jnp.clip(jnp.round(wout / ws), -127, 127).astype(jnp.int8)
+    # Pad C_out 3 -> 8: XLA's int8 conv is 2.3x faster on the padded shape
+    # (sub-lane output widths hit a slow path; measured 18.4 -> 8.1 ms at
+    # B=128). The 5 zero channels are sliced off after the conv.
+    q["out_kernel_i8"] = jnp.pad(w_i8, ((0, 0), (0, 0), (0, 0), (0, 5)))
+    q["out_wscale"] = jnp.pad(ws, (0, 5), constant_values=1.0)
+    q["out_bias"] = jnp.pad(p["dec_conv_out"]["bias"], (0, 5))
     return q
 
 
@@ -105,6 +120,55 @@ def _style_affine(style, k, b):
     return gamma, beta
 
 
+def _fused_trunk(q, h, style, n_res):
+    """Resblock trunk via the fused Pallas int8 conv kernels (v2 layout).
+
+    Each conv site is ONE kernel: conv3x3 + IN/AdaIN + (ReLU) + (residual) +
+    dynamic requant, whole-sample-resident in VMEM. Between kernels nothing
+    but int8 touches HBM; the residual chain is carried quantized with a
+    per-sample scale. Requires 64x64 feature maps (256^2 input) and C=256.
+    """
+    from msig_tpu.ops import fused_conv_int8_v2 as fc
+
+    bsz, hh, ww, cc = h.shape
+    hq, inv_s = _requant_with_inv_scale(h)
+    hq = fc.to_padded_rows(hq)
+    hs = inv_s.reshape(bsz, 1).astype(jnp.float32)
+    for i in range(n_res):
+        g1, b1 = _style_affine(style, q[f"res{i}_adain1_k"], q[f"res{i}_adain1_b"])
+        g2, b2 = _style_affine(style, q[f"res{i}_adain2_k"], q[f"res{i}_adain2_b"])
+        y1q = fc.conv3x3_adain_relu_requant(hq, q[f"res{i}_conv1_p"], g1, b1, w_img=ww)
+        hq, hs = fc.conv3x3_adain_residual_requant(
+            y1q, hq, hs, q[f"res{i}_conv2_p"], g2, b2, w_img=ww)
+    # int8 + absorbed scale is exactly what the following conv expects;
+    # rows stay guard-padded so the fused decoder can chain directly.
+    return hq
+
+
+def _fused_decoder(q, hq_rows, out_dtype):
+    """dec_up0 -> dec_up1 -> final conv, all int8, ups as fused Pallas sites.
+
+    Each upsampling site is ONE kernel (ConvT as a 9-tap phase matmul + IN +
+    ReLU + requant) emitting the s2d layout; a cheap XLA int8 transpose
+    un-phases between sites. The final conv consumes the already-requantized
+    int8 map with the kernel-reported scale.
+    """
+    from msig_tpu.ops import fused_conv_int8_v2 as fc
+
+    b = hq_rows.shape[0]
+    c1 = q["dec_up1"].shape[2]   # 128
+    c2 = q["dec_up1"].shape[3]   # 64
+    y0, _ = fc.convt4x4s2_in_relu_requant(hq_rows, q["up0_p"], 64)
+    y0 = fc.to_padded_rows(fc.unphase_s2d(y0, 64, c1))
+    y1, inv_s = fc.convt4x4s2_in_relu_requant(y0, q["up1_p"], 128)
+    h64 = fc.unphase_s2d(y1, 128, c2)
+    hi = jnp.pad(h64, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
+    y = _conv_i8(hi, q["out_kernel_i8"], 1, ((0, 0), (0, 0)))[..., :3]
+    yf = y.astype(jnp.float32) * (
+        q["out_wscale"][None, None, None, :3] * inv_s.reshape(b, 1, 1, 1))
+    return jnp.tanh(yf + q["out_bias"][:3]).astype(out_dtype)
+
+
 def quantized_generator_apply(
     q: Dict[str, Any],
     img_u8: jax.Array,
@@ -112,6 +176,7 @@ def quantized_generator_apply(
     n_res: int = 8,
     out_dtype=jnp.float32,
     fused_epilogue: bool = False,
+    fused_trunk: bool | None = None,
 ) -> jax.Array:
     """Full int8 generator forward: uint8 NHWC image + style -> [-1,1] image.
 
@@ -132,6 +197,15 @@ def quantized_generator_apply(
     from msig_tpu.ops import int8_epilogue_chunked
 
     bsz, hh, ww, cc = h.shape
+    if fused_trunk is None:
+        # Auto: the Pallas kernels win on real TPU hardware (measured
+        # 1,498 -> ~1,6xx img/s at B=128); on CPU they would run in the
+        # interpreter, so default off there.
+        fused_trunk = jax.default_backend() in ("tpu", "axon")
+    if fused_trunk and hh == ww == 64 and cc % 128 == 0:
+        hq_rows = _fused_trunk(q, h, style, n_res)
+        return _fused_decoder(q, hq_rows, out_dtype)
+
     use_fused = fused_epilogue and int8_epilogue_chunked.supported((bsz, hh * ww, cc))
     if use_fused:
         # Chunked two-phase Pallas epilogue for the relu (adain1) sites —
@@ -163,8 +237,13 @@ def quantized_generator_apply(
     h = jnp.maximum(instance_norm(h.astype(jnp.bfloat16)), 0)
 
     # Final RGB conv in int8 with a true dequant (not IN-followed), then tanh.
+    return _final_conv(q, h, out_dtype)
+
+
+def _final_conv(q, h, out_dtype):
+    """Requant -> reflect-pad -> int8 conv7 (C_out padded to 8) -> tanh."""
     hi, inv_s = _requant_with_inv_scale(h)
     hi = jnp.pad(hi, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
-    y = _conv_i8(hi, q["out_kernel_i8"], 1, ((0, 0), (0, 0)))
-    yf = y.astype(jnp.float32) * (q["out_wscale"][None, None, None, :] * inv_s)
-    return jnp.tanh(yf + q["out_bias"]).astype(out_dtype)
+    y = _conv_i8(hi, q["out_kernel_i8"], 1, ((0, 0), (0, 0)))[..., :3]
+    yf = y.astype(jnp.float32) * (q["out_wscale"][None, None, None, :3] * inv_s)
+    return jnp.tanh(yf + q["out_bias"][:3]).astype(out_dtype)

@@ -1,0 +1,325 @@
+"""v2 fused int8 conv kernels: padded-column layout, per-tap MXU accumulation.
+
+Differences vs ops/fused_conv_int8.py (v1):
+
+  * Layout: the H x W x C feature map is stored as ``[H * WP, C]`` with
+    WP = W + 8 — eight zero guard COLUMNS per image row — plus the usual
+    zero guard ROWS top/bottom. A 3x3 tap offset becomes ``dy*WP + dx`` and
+    horizontal edge taps now read the zero guard columns, so NO edge
+    masking is needed anywhere in the convolution.
+  * The 9 taps are 9 direct shifted-slice ``dot_general``s accumulated in
+    int32 — the v1 ``[CHUNK, 9C]`` im2col scratch copy (a full extra
+    VMEM write+read of the operand, serialized on the VPU) is gone.
+  * Cost: conv outputs are also computed at the 8 guard columns
+    (+12.5% MXU rows); instance-norm statistics and the requantized
+    stores mask them out with a static ``j mod WP < W`` predicate.
+
+Numerics are identical to v1 (tests/test_fused_conv_int8.py::test_v2_*).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_EPS = 1e-5
+GUARD = 128  # guard rows for w_img=64 (kept as a constant for that case)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def guard_rows(w_img: int) -> int:
+    """Zero guard rows top/bottom: >= WP+1, rounded up to a 32-row tile."""
+    wp = w_img + 8
+    return max(128, ((wp + 1 + 31) // 32) * 32)
+
+
+def geometry(w_img: int, chunk_rows: int = 16):
+    """(WP, SROWS_P, chunk, n_chunks) for a w_img x w_img map."""
+    wp = w_img + 8
+    srows = w_img * wp
+    # chunk_rows image rows per chunk; 16 keeps the operand ~[1152..2304, C]
+    chunk = chunk_rows * wp
+    assert srows % chunk == 0
+    return wp, srows, chunk, srows // chunk
+
+
+def to_padded_rows(x: jax.Array) -> jax.Array:
+    """[B, H, W, C] int8 -> [B, g + H*WP + g, C] guard-padded rows."""
+    b, h, w, c = x.shape
+    wp = w + 8
+    g = guard_rows(w)
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 8), (0, 0)))
+    x = x.reshape(b, h * wp, c)
+    return jnp.pad(x, ((0, 0), (g, g), (0, 0)))
+
+
+def _valid_mask(chunk: int, wp: int, w_img: int):
+    j = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) % wp
+    return j < w_img
+
+
+def _conv_chunk(x_ref, w_ref, cin, cout, start, offs, chunk):
+    """Accumulate the 9 shifted-slice matmuls for one output chunk."""
+    acc = None
+    for t, off in enumerate(offs):
+        lhs = x_ref[0, pl.ds(start + off, chunk), :]
+        d = jax.lax.dot_general(
+            lhs, w_ref[t * cin:(t + 1) * cin, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        acc = d if acc is None else acc + d
+    return acc
+
+
+def _kernel_relu(eps, cin, wp, w_img, srows, chunk, guard,
+                 x_ref, w_ref, g_ref, b_ref, o_ref, acc):
+    """conv3x3(int8) -> AdaIN -> ReLU -> requant(int8), one sample."""
+    n_chunks = srows // chunk
+    offs = [dy * wp + dx for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    valid = _valid_mask(chunk, wp, w_img)
+    n = float(w_img * w_img)
+    sums = jnp.zeros((1, cin), jnp.float32)
+    sumsq = jnp.zeros((1, cin), jnp.float32)
+    cmin = jnp.full((1, cin), jnp.inf, jnp.float32)
+    cmax = jnp.full((1, cin), -jnp.inf, jnp.float32)
+    for c in range(n_chunks):
+        yc = _conv_chunk(x_ref, w_ref, cin, cin, guard + c * chunk, offs, chunk)
+        acc[pl.ds(c * chunk, chunk), :] = yc
+        xf = jnp.where(valid, yc.astype(jnp.float32), 0.0)
+        sums = sums + jnp.sum(xf, axis=0, keepdims=True)
+        sumsq = sumsq + jnp.sum(xf * xf, axis=0, keepdims=True)
+        xv = jnp.where(valid, yc.astype(jnp.float32), jnp.inf)
+        cmin = jnp.minimum(cmin, jnp.min(xv, axis=0, keepdims=True))
+        xv = jnp.where(valid, yc.astype(jnp.float32), -jnp.inf)
+        cmax = jnp.maximum(cmax, jnp.max(xv, axis=0, keepdims=True))
+
+    mean = sums / n
+    var = jnp.maximum(sumsq / n - mean * mean, 0.0)
+    g = g_ref[0, :, :].astype(jnp.float32)
+    b = b_ref[0, :, :].astype(jnp.float32)
+    a = g * jax.lax.rsqrt(var + eps)
+    d = b - mean * a
+    hi = jnp.maximum(a * cmax, a * cmin) + d
+    amax = jnp.max(jnp.maximum(hi, 0.0))
+    s = jnp.where(amax > 0, 127.0 / amax, 1.0)
+
+    for c in range(n_chunks):
+        xf = acc[pl.ds(c * chunk, chunk), :].astype(jnp.float32)
+        y = jnp.maximum(xf * a + d, 0.0) * s
+        q = jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8)
+        o_ref[0, pl.ds(guard + c * chunk, chunk), :] = jnp.where(
+            valid, q, jnp.int8(0))
+    o_ref[0, pl.ds(0, guard), :] = jnp.zeros((guard, cin), jnp.int8)
+    o_ref[0, pl.ds(guard + srows, guard), :] = jnp.zeros((guard, cin), jnp.int8)
+
+
+def _kernel_res(eps, cin, wp, w_img, srows, chunk, guard,
+                x_ref, h_ref, hs_ref, w_ref, g_ref, b_ref, o_ref, os_ref, acc):
+    """conv3x3(int8) -> AdaIN -> +residual -> requant(int8), one sample."""
+    n_chunks = srows // chunk
+    offs = [dy * wp + dx for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    valid = _valid_mask(chunk, wp, w_img)
+    n = float(w_img * w_img)
+    sums = jnp.zeros((1, cin), jnp.float32)
+    sumsq = jnp.zeros((1, cin), jnp.float32)
+    for c in range(n_chunks):
+        yc = _conv_chunk(x_ref, w_ref, cin, cin, guard + c * chunk, offs, chunk)
+        acc[pl.ds(c * chunk, chunk), :] = yc
+        xf = jnp.where(valid, yc.astype(jnp.float32), 0.0)
+        sums = sums + jnp.sum(xf, axis=0, keepdims=True)
+        sumsq = sumsq + jnp.sum(xf * xf, axis=0, keepdims=True)
+
+    mean = sums / n
+    var = jnp.maximum(sumsq / n - mean * mean, 0.0)
+    g = g_ref[0, :, :].astype(jnp.float32)
+    b = b_ref[0, :, :].astype(jnp.float32)
+    a = g * jax.lax.rsqrt(var + eps)
+    d = b - mean * a
+    hs = hs_ref[0, 0, 0]
+
+    amax = jnp.float32(0.0)
+    for c in range(n_chunks):
+        xf = acc[pl.ds(c * chunk, chunk), :].astype(jnp.float32)
+        hf = h_ref[0, pl.ds(guard + c * chunk, chunk), :].astype(jnp.float32) * hs
+        hn = jnp.where(valid, xf * a + d + hf, 0.0)
+        amax = jnp.maximum(amax, jnp.max(jnp.abs(hn)))
+    s = jnp.where(amax > 0, 127.0 / amax, 1.0)
+    os_ref[0, 0, 0] = jnp.where(amax > 0, amax / 127.0, 1.0)
+
+    for c in range(n_chunks):
+        xf = acc[pl.ds(c * chunk, chunk), :].astype(jnp.float32)
+        hf = h_ref[0, pl.ds(guard + c * chunk, chunk), :].astype(jnp.float32) * hs
+        hn = (xf * a + d + hf) * s
+        q = jnp.clip(jnp.round(hn), -127.0, 127.0).astype(jnp.int8)
+        o_ref[0, pl.ds(guard + c * chunk, chunk), :] = jnp.where(
+            valid, q, jnp.int8(0))
+    o_ref[0, pl.ds(0, guard), :] = jnp.zeros((guard, cin), jnp.int8)
+    o_ref[0, pl.ds(guard + srows, guard), :] = jnp.zeros((guard, cin), jnp.int8)
+
+
+def _kernel_up(eps, cin, cout4, wp, w_img, srows, chunk, guard,
+               x_ref, w_ref, o_ref, os_ref, acc):
+    """ConvT4x4s2 (9-tap phase matmul) -> IN -> ReLU -> requant, s2d out."""
+    n_chunks = srows // chunk
+    offs = [dy * wp + dx for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    valid = _valid_mask(chunk, wp, w_img)
+    cout = cout4 // 4
+    n = float(w_img * w_img * 4)
+    sums = jnp.zeros((1, cout4), jnp.float32)
+    sumsq = jnp.zeros((1, cout4), jnp.float32)
+    cmin = jnp.full((1, cout4), jnp.inf, jnp.float32)
+    cmax = jnp.full((1, cout4), -jnp.inf, jnp.float32)
+    for c in range(n_chunks):
+        yc = _conv_chunk(x_ref, w_ref, cin, cout4, guard + c * chunk, offs, chunk)
+        acc[pl.ds(c * chunk, chunk), :] = yc
+        xf = jnp.where(valid, yc.astype(jnp.float32), 0.0)
+        sums = sums + jnp.sum(xf, axis=0, keepdims=True)
+        sumsq = sumsq + jnp.sum(xf * xf, axis=0, keepdims=True)
+        xv = jnp.where(valid, yc.astype(jnp.float32), jnp.inf)
+        cmin = jnp.minimum(cmin, jnp.min(xv, axis=0, keepdims=True))
+        xv = jnp.where(valid, yc.astype(jnp.float32), -jnp.inf)
+        cmax = jnp.maximum(cmax, jnp.max(xv, axis=0, keepdims=True))
+
+    def _fold(v):
+        return (v[:, 0 * cout:1 * cout] + v[:, 1 * cout:2 * cout]
+                + v[:, 2 * cout:3 * cout] + v[:, 3 * cout:4 * cout])
+
+    mean_c = _fold(sums) / n
+    sq_c = _fold(sumsq) / n
+    var_c = jnp.maximum(sq_c - mean_c * mean_c, 0.0)
+    a_c = jax.lax.rsqrt(var_c + eps)
+    d_c = -mean_c * a_c
+    a = jnp.concatenate([a_c, a_c, a_c, a_c], axis=1)
+    d = jnp.concatenate([d_c, d_c, d_c, d_c], axis=1)
+    hi = jnp.maximum(a * cmax, a * cmin) + d
+    amax = jnp.max(jnp.maximum(hi, 0.0))
+    s = jnp.where(amax > 0, 127.0 / amax, 1.0)
+    os_ref[0, 0, 0] = jnp.where(amax > 0, amax / 127.0, 1.0)
+
+    for c in range(n_chunks):
+        xf = acc[pl.ds(c * chunk, chunk), :].astype(jnp.float32)
+        y = jnp.maximum(xf * a + d, 0.0) * s
+        q = jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8)
+        o_ref[0, pl.ds(c * chunk, chunk), :] = jnp.where(valid, q, jnp.int8(0))
+
+
+def conv3x3_adain_relu_requant(x_q, w_packed, gamma, beta,
+                               w_img: int = 64, eps: float = _EPS,
+                               chunk_rows: int = 16):
+    """Fused resblock conv1 site (padded-col layout).
+
+    Args:
+      x_q: [B, GUARD + w_img*(w_img+8) + GUARD, C] int8 from
+        :func:`to_padded_rows` (or a previous v2 kernel).
+      w_packed: [9C, C] int8 (same packing as v1).
+      gamma, beta: [B, C] float32.
+    """
+    wp, srows, chunk, _ = geometry(w_img, chunk_rows)
+    g = guard_rows(w_img)
+    bsz, xrows, cin = x_q.shape
+    assert xrows == srows + 2 * g and w_packed.shape == (9 * cin, cin)
+    kernel = functools.partial(_kernel_relu, eps, cin, wp, w_img, srows, chunk, g)
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((1, xrows, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * cin, cin), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, xrows, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, xrows, cin), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((srows, cin), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(x_q, w_packed, gamma[:, None, :], beta[:, None, :])
+
+
+def conv3x3_adain_residual_requant(y1_q, h_q, h_scale, w_packed, gamma, beta,
+                                   w_img: int = 64, eps: float = _EPS,
+                                   chunk_rows: int = 16):
+    """Fused resblock conv2 site with quantized residual carry (v2 layout)."""
+    wp, srows, chunk, _ = geometry(w_img, chunk_rows)
+    g = guard_rows(w_img)
+    bsz, xrows, cin = y1_q.shape
+    assert xrows == srows + 2 * g and w_packed.shape == (9 * cin, cin)
+    kernel = functools.partial(_kernel_res, eps, cin, wp, w_img, srows, chunk, g)
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((1, xrows, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, xrows, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((9 * cin, cin), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, xrows, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, xrows, cin), jnp.int8),
+            jax.ShapeDtypeStruct((bsz, 1, 1), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((srows, cin), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(y1_q, h_q, h_scale.reshape(bsz, 1, 1), w_packed,
+      gamma[:, None, :], beta[:, None, :])
+
+
+def convt4x4s2_in_relu_requant(x_q, w_packed, w_img: int, eps: float = _EPS,
+                               chunk_rows: int = 16):
+    """Fused decoder upsampling site (v2 layout). Output s2d, guard cols
+    zeroed; un-phase with :func:`unphase_s2d`."""
+    wp, srows, chunk, _ = geometry(w_img, chunk_rows)
+    g = guard_rows(w_img)
+    bsz, xrows, cin = x_q.shape
+    assert xrows == srows + 2 * g, (xrows, srows)
+    cout4 = w_packed.shape[1]
+    assert w_packed.shape[0] == 9 * cin
+    kernel = functools.partial(
+        _kernel_up, eps, cin, cout4, wp, w_img, srows, chunk, g)
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((1, xrows, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * cin, cout4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, srows, cout4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, srows, cout4), jnp.int8),
+            jax.ShapeDtypeStruct((bsz, 1, 1), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((srows, cout4), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(x_q, w_packed)
+
+
+def unphase_s2d(y_s2d: jax.Array, w_img: int, cout: int) -> jax.Array:
+    """[B, w_img*(w_img+8), 4*cout] s2d -> [B, 2*w_img, 2*w_img, cout]."""
+    b = y_s2d.shape[0]
+    wp = w_img + 8
+    y = y_s2d.reshape(b, w_img, wp, 2, 2, cout)[:, :, :w_img]
+    y = y.transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(b, 2 * w_img, 2 * w_img, cout)

@@ -137,3 +137,25 @@ class TestTrainLoader:
         e1 = list(loader.epoch(1))
         np.testing.assert_array_equal(e0a[0]["source"], e0b[0]["source"])
         assert not np.array_equal(e0a[0]["source"], e1[0]["source"])
+
+    def test_unreadable_training_image_raises_not_hangs(self, tree, tmp_path):
+        """A corrupt file in the source dir must fail the epoch loudly
+        (reference parity: its DataLoader crashes too) — never hang the
+        consumer on a dead producer thread."""
+        import shutil
+
+        src, ref = tree
+        src2 = tmp_path / "src2"
+        shutil.copytree(src, src2)
+        (src2 / "broken.jpg").write_bytes(b"not an image")
+        ds = MultiDomainDataset.build(str(src2), ref)
+        loader = TrainLoader(ds, batch_size=ds_len_min(ds), image_size=16,
+                             seed=0, num_threads=2)
+        with pytest.raises(Exception):
+            # every sample path gets loaded in the first batch when
+            # batch_size == dataset length, so the corrupt file is hit
+            list(loader.epoch(0))
+
+
+def ds_len_min(ds):
+    return len(ds)
