@@ -169,6 +169,10 @@ def main(cfg: InferenceConfig) -> int:
             raise ValueError("style_mode='latent' requires --mapping_params")
         import jax
         import jax.numpy as jnp
+
+        import msig_tpu
+
+        msig_tpu.enable_persistent_compile_cache()
         from flax import serialization
 
         from msig_tpu.extensions import MappingNetwork

@@ -74,6 +74,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="EXTENSION: R1 gradient-penalty weight (0 = reference parity)")
     parser.add_argument("--remat", action="store_true",
                         help="Rematerialize generator forwards (for 512x512 training)")
+    parser.add_argument("--device_data", action="store_true",
+                        help="Keep the decoded dataset HBM-resident and augment "
+                             "on device (fastest when host->device bandwidth "
+                             "limits the step)")
     parser.add_argument("--style_recon_weight", type=float, default=0.0,
                         help="EXTENSION: style-reconstruction loss weight (0 = parity)")
     parser.add_argument("--diversity_weight", type=float, default=0.0,
@@ -108,6 +112,7 @@ def config_from_args(args) -> TrainConfig:
         profile_steps=args.profile_steps,
         r1_gamma=args.r1_gamma,
         remat=args.remat,
+        device_data=args.device_data,
         multihost=args.multihost,
         style_recon_weight=args.style_recon_weight,
         diversity_weight=args.diversity_weight,
@@ -117,6 +122,9 @@ def config_from_args(args) -> TrainConfig:
 
 def main(cfg: TrainConfig) -> int:
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
+    import msig_tpu
+
+    msig_tpu.enable_persistent_compile_cache()
     from msig_tpu.data import MultiDomainDataset
     from msig_tpu.train.trainer import Trainer
 

@@ -21,3 +21,22 @@ Layout (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+
+def enable_persistent_compile_cache(path: str | None = None) -> None:
+    """Point jax at an on-disk compilation cache (big deal on this 1-core
+    host: full-path compiles take minutes). The ``JAX_COMPILATION_CACHE_DIR``
+    env var is not honored by this jax build, so set the config flags
+    directly. Safe to call more than once; call before the first compile."""
+    import os
+
+    import jax
+
+    d = path or os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    try:
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # read-only FS / unknown flags: cache is best-effort
+        pass

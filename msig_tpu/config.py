@@ -155,6 +155,10 @@ class TrainConfig:
     # Rematerialize generator forwards (jax.checkpoint) — enables 512x512
     # training within single-chip HBM at ~1/3 extra FLOPs.
     remat: bool = False
+    # Device-resident dataset mode: upload the decoded dataset to HBM once
+    # and run RandomResizedCrop+rot augmentation on device (TPU-native
+    # extension; see msig_tpu/data/device_data.py).
+    device_data: bool = False
     # Multi-host (DCN) training: call jax.distributed.initialize at startup.
     multihost: bool = False
     # EXTENSION (not in reference): style-reconstruction loss weight; 0 = parity.

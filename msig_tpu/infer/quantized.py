@@ -68,6 +68,22 @@ def quantize_generator_params(params: Dict[str, Any], n_residual_blocks: int) ->
     cu1 = q["dec_up1"].shape[2]
     q["up0_p"] = _fc.pack_convt_weights(q["dec_up0"], cu0, q["dec_up0"].shape[3])
     q["up1_p"] = _fc.pack_convt_weights(q["dec_up1"], cu1, q["dec_up1"].shape[3])
+    from msig_tpu.ops import fused_conv_int8_v2 as _f2
+
+    q["up0_ps"], _ = _f2.pack_convt_weights_ps(
+        q["dec_up0"], cu0, q["dec_up0"].shape[3])
+    q["up1_ps"], _ = _f2.pack_convt_weights_ps(
+        q["dec_up1"], cu1, q["dec_up1"].shape[3])
+    # Fused Pallas encoder (256^2 trunk path only; harmless tiny extras)
+    if (q["enc_conv0"].shape == (7, 7, 3, 64)
+            and q["enc_conv1"].shape == (4, 4, 64, 128)
+            and q["enc_conv2"].shape == (4, 4, 128, 256)):
+        from msig_tpu.ops import fused_enc_int8 as _fe
+        import numpy as _np
+
+        q["enc0_p"] = _fe.pack_enc0(_np.asarray(q["enc_conv0"]))
+        q["enc1_p"] = _fe.pack_enc1(_np.asarray(q["enc_conv1"]))
+        q["enc2_p"] = _fe.pack_enc2(_np.asarray(q["enc_conv2"]))
     # Final conv is NOT IN-followed: quantize with explicit per-out-channel
     # weight scales for a true dequant before tanh.
     wout = jnp.asarray(p["dec_conv_out"]["kernel"], jnp.float32)
@@ -120,47 +136,69 @@ def _style_affine(style, k, b):
     return gamma, beta
 
 
-def _fused_trunk(q, h, style, n_res):
-    """Resblock trunk via the fused Pallas int8 conv kernels (v2 layout).
+def _fused_trunk_rows(q, hq, hs, style, n_res, w_img=64):
+    """Resblock trunk on an already-quantized padded-row slab (v2 layout).
 
     Each conv site is ONE kernel: conv3x3 + IN/AdaIN + (ReLU) + (residual) +
     dynamic requant, whole-sample-resident in VMEM. Between kernels nothing
-    but int8 touches HBM; the residual chain is carried quantized with a
-    per-sample scale. Requires 64x64 feature maps (256^2 input) and C=256.
+    but int8 touches HBM; the residual chain is carried quantized with the
+    per-sample scale ``hs``.
     """
     from msig_tpu.ops import fused_conv_int8_v2 as fc
 
-    bsz, hh, ww, cc = h.shape
-    hq, inv_s = _requant_with_inv_scale(h)
-    hq = fc.to_padded_rows(hq)
-    hs = inv_s.reshape(bsz, 1).astype(jnp.float32)
     for i in range(n_res):
         g1, b1 = _style_affine(style, q[f"res{i}_adain1_k"], q[f"res{i}_adain1_b"])
         g2, b2 = _style_affine(style, q[f"res{i}_adain2_k"], q[f"res{i}_adain2_b"])
-        y1q = fc.conv3x3_adain_relu_requant(hq, q[f"res{i}_conv1_p"], g1, b1, w_img=ww)
+        y1q = fc.conv3x3_adain_relu_requant(hq, q[f"res{i}_conv1_p"], g1, b1, w_img=w_img)
         hq, hs = fc.conv3x3_adain_residual_requant(
-            y1q, hq, hs, q[f"res{i}_conv2_p"], g2, b2, w_img=ww)
+            y1q, hq, hs, q[f"res{i}_conv2_p"], g2, b2, w_img=w_img)
     # int8 + absorbed scale is exactly what the following conv expects;
     # rows stay guard-padded so the fused decoder can chain directly.
     return hq
 
 
+def _fused_trunk(q, h, style, n_res):
+    """bf16-input wrapper for :func:`_fused_trunk_rows` (XLA-encoder path)."""
+    from msig_tpu.ops import fused_conv_int8_v2 as fc
+
+    bsz = h.shape[0]
+    hq, inv_s = _requant_with_inv_scale(h)
+    hq = fc.to_padded_rows(hq)
+    hs = inv_s.reshape(bsz, 1).astype(jnp.float32)
+    return _fused_trunk_rows(q, hq, hs, style, n_res, w_img=h.shape[2])
+
+
+def _fused_encoder(q, img_u8):
+    """uint8 image -> (trunk-ready int8 slab, residual scale [B,1]).
+
+    Entire encoder as three Pallas kernels on the shared 64-grid layout
+    (ops/fused_enc_int8.py) — no XLA convs, int8-only HBM traffic.
+    """
+    from msig_tpu.ops import fused_enc_int8 as fe
+
+    slab = fe.prep_s2d4_input(img_u8)
+    h0 = fe.enc0_in_relu_requant(slab, q["enc0_p"])
+    h1 = fe.enc1_in_relu_requant(h0, q["enc1_p"])
+    hq, inv_s = fe.enc2_in_relu_requant(h1, q["enc2_p"])
+    return hq, inv_s.reshape(img_u8.shape[0], 1)
+
+
 def _fused_decoder(q, hq_rows, out_dtype):
     """dec_up0 -> dec_up1 -> final conv, all int8, ups as fused Pallas sites.
 
-    Each upsampling site is ONE kernel (ConvT as a 9-tap phase matmul + IN +
-    ReLU + requant) emitting the s2d layout; a cheap XLA int8 transpose
-    un-phases between sites. The final conv consumes the already-requantized
-    int8 map with the kernel-reported scale.
+    Each upsampling site is ONE phase-split kernel (ConvT as 4 phases x 4
+    dense taps + IN + ReLU + requant) emitting the s2d layout; a cheap XLA
+    int8 transpose un-phases between sites. The final conv consumes the
+    already-requantized int8 map with the kernel-reported scale.
     """
     from msig_tpu.ops import fused_conv_int8_v2 as fc
 
     b = hq_rows.shape[0]
     c1 = q["dec_up1"].shape[2]   # 128
     c2 = q["dec_up1"].shape[3]   # 64
-    y0, _ = fc.convt4x4s2_in_relu_requant(hq_rows, q["up0_p"], 64)
+    y0, _ = fc.convt4x4s2_in_relu_requant_ps(hq_rows, q["up0_ps"], fc.PS_TAPS, 64)
     y0 = fc.to_padded_rows(fc.unphase_s2d(y0, 64, c1))
-    y1, inv_s = fc.convt4x4s2_in_relu_requant(y0, q["up1_p"], 128)
+    y1, inv_s = fc.convt4x4s2_in_relu_requant_ps(y0, q["up1_ps"], fc.PS_TAPS, 128)
     h64 = fc.unphase_s2d(y1, 128, c2)
     hi = jnp.pad(h64, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
     y = _conv_i8(hi, q["out_kernel_i8"], 1, ((0, 0), (0, 0)))[..., :3]
@@ -184,6 +222,17 @@ def quantized_generator_apply(
     with int8 convolutions; see module docstring for why no dequant scales
     or biases appear.
     """
+    if fused_trunk is None:
+        # Auto: the Pallas kernels win on real TPU hardware; on CPU they
+        # would run in the interpreter, so default off there.
+        fused_trunk = jax.default_backend() in ("tpu", "axon")
+
+    if fused_trunk and img_u8.shape[1:] == (256, 256, 3) and "enc0_p" in q:
+        # All-Pallas path: fused encoder -> fused trunk -> fused decoder.
+        hq_rows, hs = _fused_encoder(q, img_u8)
+        hq_rows = _fused_trunk_rows(q, hq_rows, hs, style, n_res)
+        return _fused_decoder(q, hq_rows, out_dtype)
+
     # Raw uint8 -> int8 by recentering; the affine (x/127.5 - 1) is absorbed.
     x = (img_u8.astype(jnp.int32) - 128).astype(jnp.int8)
     x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
@@ -197,14 +246,25 @@ def quantized_generator_apply(
     from msig_tpu.ops import int8_epilogue_chunked
 
     bsz, hh, ww, cc = h.shape
-    if fused_trunk is None:
-        # Auto: the Pallas kernels win on real TPU hardware (measured
-        # 1,498 -> ~1,6xx img/s at B=128); on CPU they would run in the
-        # interpreter, so default off there.
-        fused_trunk = jax.default_backend() in ("tpu", "axon")
     if fused_trunk and hh == ww == 64 and cc % 128 == 0:
         hq_rows = _fused_trunk(q, h, style, n_res)
         return _fused_decoder(q, hq_rows, out_dtype)
+    if fused_trunk and hh == ww == 128 and cc % 128 == 0:
+        # 512^2 input: fused trunk on 128x128 maps; decoder stays XLA (the
+        # up1 site's int32 acc slab at 256x264 rows would exceed VMEM).
+        from msig_tpu.ops import fused_conv_int8_v2 as _f2
+
+        hq_rows = _fused_trunk(q, h, style, n_res)
+        g = _f2.guard_rows(hh)
+        wp = hh + 8
+        body = hq_rows[:, g:g + hh * wp].reshape(bsz, hh, wp, cc)[:, :, :hh]
+        # int8 with an absorbed per-sample scale — exactly what the next
+        # IN-followed conv expects; skip the dequant/requant round trip.
+        h = _conv_i8(body, q["dec_up0"], 1, ((2, 2), (2, 2)), lhs_dilation=(2, 2))
+        h = jnp.maximum(instance_norm(h.astype(jnp.bfloat16)), 0)
+        h = _conv_i8(_requant(h), q["dec_up1"], 1, ((2, 2), (2, 2)), lhs_dilation=(2, 2))
+        h = jnp.maximum(instance_norm(h.astype(jnp.bfloat16)), 0)
+        return _final_conv(q, h, out_dtype)
 
     use_fused = fused_epilogue and int8_epilogue_chunked.supported((bsz, hh * ww, cc))
     if use_fused:

@@ -6,5 +6,6 @@ from msig_tpu.losses.vgg import (  # noqa: F401
     init_vgg_params,
     load_vgg_params,
     style_content_loss,
+    style_content_loss_pair,
     vgg_features,
 )

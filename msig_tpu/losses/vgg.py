@@ -159,3 +159,47 @@ def style_content_loss(
     c4 = con_feats[_CONTENT_INDEX].astype(jnp.float32)
     content_loss = jnp.mean(jnp.abs(g4 - c4))
     return content_loss, style_loss
+
+
+def style_content_loss_pair(
+    params: VGGParams,
+    fake_B: jax.Array,
+    real_B: jax.Array,
+    real_A: jax.Array,
+    fake_A: jax.Array,
+) -> Tuple[Tuple[jax.Array, jax.Array], Tuple[jax.Array, jax.Array]]:
+    """Both perceptual directions with ONE batched VGG forward.
+
+    Equivalent to
+        style_content_loss(params, fake_B, real_B, real_A),
+        style_content_loss(params, fake_A, real_A, real_B)
+    but runs the VGG prefix once on ``concat([fake_B, fake_A, real_A,
+    real_B])`` (4B rows) instead of six times on B rows — the reference
+    calls its VGG twice with 3 images each (/root/reference/trainer.py:104,
+    109) and real_A/real_B appear in both calls. Gram matrices stay
+    batch-coupled WITHIN each original B-group, exactly as the reference's
+    ``view(a*b, c*d)`` Gram does per call (losses.py:70-78).
+
+    Returns ((content_B, style_B), (content_A, style_A)).
+    """
+    b = fake_B.shape[0]
+    stack = jnp.concatenate([fake_B, fake_A, real_A, real_B], axis=0)
+    feats = vgg_features(params, stack, upto=5)
+
+    def group(f, i):
+        return f[i * b:(i + 1) * b]
+
+    style_B = jnp.asarray(0.0, jnp.float32)
+    style_A = jnp.asarray(0.0, jnp.float32)
+    for f in feats:
+        g_fb = gram_matrix(group(f, 0))
+        g_fa = gram_matrix(group(f, 1))
+        g_ra = gram_matrix(group(f, 2))
+        g_rb = gram_matrix(group(f, 3))
+        style_B += jnp.mean(jnp.abs(g_fb - g_rb))
+        style_A += jnp.mean(jnp.abs(g_fa - g_ra))
+
+    f4 = feats[_CONTENT_INDEX].astype(jnp.float32)
+    content_B = jnp.mean(jnp.abs(group(f4, 0) - group(f4, 2)))  # fake_B vs real_A
+    content_A = jnp.mean(jnp.abs(group(f4, 1) - group(f4, 3)))  # fake_A vs real_B
+    return (content_B, style_B), (content_A, style_A)

@@ -323,3 +323,144 @@ def unphase_s2d(y_s2d: jax.Array, w_img: int, cout: int) -> jax.Array:
     y = y_s2d.reshape(b, w_img, wp, 2, 2, cout)[:, :, :w_img]
     y = y.transpose(0, 1, 3, 2, 4, 5)
     return y.reshape(b, 2 * w_img, 2 * w_img, cout)
+
+
+# -------------------------------------------------------- phase-split ConvT
+
+
+def pack_convt_weights_ps(w_hwio, cin: int, cout: int):
+    """ConvT4x4s2 kernel -> [16*cin, cout] int8, phase-major tap blocks.
+
+    Unlike :func:`msig_tpu.ops.fused_conv_int8.pack_convt_weights` (9-tap
+    K-concat with 5/9 zero blocks), each output phase q=(qy,qx) keeps ONLY
+    its 2x2 valid taps: out(2I+qy, 2J+qx) = sum_{dy,dx in taps(q)}
+    x(I+dy, J+dx) * w[2dy+2-qy, 2dx+2-qx]. Block order: [q][tap][cin].
+    Returns (packed weights, per-phase tap offset lists in (dy, dx)).
+    """
+    import numpy as np
+
+    assert w_hwio.shape == (4, 4, cin, cout)
+    w = np.asarray(w_hwio)
+    packed = np.zeros((16 * cin, cout), np.int8)
+    taps_by_phase = []
+    blk = 0
+    for qy in (0, 1):
+        for qx in (0, 1):
+            dys = (-1, 0) if qy == 0 else (0, 1)
+            dxs = (-1, 0) if qx == 0 else (0, 1)
+            taps = []
+            for dy in dys:
+                for dx in dxs:
+                    packed[blk * cin:(blk + 1) * cin] = w[2 * dy + 2 - qy,
+                                                          2 * dx + 2 - qx]
+                    taps.append((dy, dx))
+                    blk += 1
+            taps_by_phase.append(taps)
+    return jnp.asarray(packed), taps_by_phase
+
+
+def _kernel_up_ps(eps, cin, cout, wp, w_img, srows, chunk, guard, taps_by_phase,
+                  x_ref, w_ref, o_ref, os_ref, acc):
+    """Phase-split ConvT4x4s2 -> IN -> ReLU -> requant (s2d out).
+
+    16 dense [chunk, cin] x [cin, cout] matmuls per chunk (4 phases x 4
+    taps) — no zero-block K work. Identical numerics to _kernel_up."""
+    n_chunks = srows // chunk
+    valid = _valid_mask(chunk, wp, w_img)
+    cout4 = 4 * cout
+    n = float(w_img * w_img * 4)
+    sums = jnp.zeros((1, cout4), jnp.float32)
+    sumsq = jnp.zeros((1, cout4), jnp.float32)
+    cmin = jnp.full((1, cout4), jnp.inf, jnp.float32)
+    cmax = jnp.full((1, cout4), -jnp.inf, jnp.float32)
+    for c in range(n_chunks):
+        phases = []
+        blk = 0
+        for q in range(4):
+            aq = None
+            for (dy, dx) in taps_by_phase[q]:
+                lhs = x_ref[0, pl.ds(guard + c * chunk + dy * wp + dx, chunk), :]
+                d = jax.lax.dot_general(
+                    lhs, w_ref[blk * cin:(blk + 1) * cin, :],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                aq = d if aq is None else aq + d
+                blk += 1
+            phases.append(aq)
+        yc = jnp.concatenate(phases, axis=1)
+        acc[pl.ds(c * chunk, chunk), :] = yc
+        xf = jnp.where(valid, yc.astype(jnp.float32), 0.0)
+        sums = sums + jnp.sum(xf, axis=0, keepdims=True)
+        sumsq = sumsq + jnp.sum(xf * xf, axis=0, keepdims=True)
+        xv = jnp.where(valid, yc.astype(jnp.float32), jnp.inf)
+        cmin = jnp.minimum(cmin, jnp.min(xv, axis=0, keepdims=True))
+        xv = jnp.where(valid, yc.astype(jnp.float32), -jnp.inf)
+        cmax = jnp.maximum(cmax, jnp.max(xv, axis=0, keepdims=True))
+
+    def _fold(v):
+        return (v[:, 0 * cout:1 * cout] + v[:, 1 * cout:2 * cout]
+                + v[:, 2 * cout:3 * cout] + v[:, 3 * cout:4 * cout])
+
+    mean_c = _fold(sums) / n
+    sq_c = _fold(sumsq) / n
+    var_c = jnp.maximum(sq_c - mean_c * mean_c, 0.0)
+    a_c = jax.lax.rsqrt(var_c + eps)
+    d_c = -mean_c * a_c
+    a = jnp.concatenate([a_c, a_c, a_c, a_c], axis=1)
+    d = jnp.concatenate([d_c, d_c, d_c, d_c], axis=1)
+    hi = jnp.maximum(a * cmax, a * cmin) + d
+    amax = jnp.max(jnp.maximum(hi, 0.0))
+    s = jnp.where(amax > 0, 127.0 / amax, 1.0)
+    os_ref[0, 0, 0] = jnp.where(amax > 0, amax / 127.0, 1.0)
+
+    for c in range(n_chunks):
+        xf = acc[pl.ds(c * chunk, chunk), :].astype(jnp.float32)
+        y = jnp.maximum(xf * a + d, 0.0) * s
+        q = jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8)
+        o_ref[0, pl.ds(c * chunk, chunk), :] = jnp.where(valid, q, jnp.int8(0))
+
+
+def convt4x4s2_in_relu_requant_ps(x_q, w_packed_ps, taps_by_phase, w_img: int,
+                                  eps: float = _EPS, chunk_rows: int = 16):
+    """Phase-split fused upsampling site. Same contract as
+    :func:`convt4x4s2_in_relu_requant` but with
+    (w_packed_ps, taps_by_phase) from :func:`pack_convt_weights_ps`."""
+    wp, srows, chunk, _ = geometry(w_img, chunk_rows)
+    g = guard_rows(w_img)
+    bsz, xrows, cin = x_q.shape
+    assert xrows == srows + 2 * g, (xrows, srows)
+    cout = w_packed_ps.shape[1]
+    assert w_packed_ps.shape[0] == 16 * cin
+    kernel = functools.partial(
+        _kernel_up_ps, eps, cin, cout, wp, w_img, srows, chunk, g,
+        tuple(tuple(t) for t in taps_by_phase))
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((1, xrows, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16 * cin, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, srows, 4 * cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, srows, 4 * cout), jnp.int8),
+            jax.ShapeDtypeStruct((bsz, 1, 1), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((srows, 4 * cout), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(x_q, w_packed_ps)
+
+
+# Static per-phase tap lists of pack_convt_weights_ps (deterministic).
+PS_TAPS = tuple(
+    tuple((dy, dx)
+          for dy in ((-1, 0) if qy == 0 else (0, 1))
+          for dx in ((-1, 0) if qx == 0 else (0, 1)))
+    for qy in (0, 1) for qx in (0, 1)
+)

@@ -1,0 +1,380 @@
+"""Fused int8 encoder kernels: the whole generator encoder on the 64-grid.
+
+The XLA int8 encoder convs are the worst-utilized part of the quantized
+generator (measured at B=128: conv0 ~14 ms, conv1 12.7 ms, conv2 6.1 ms vs
+a ~3 ms combined MXU floor — strided/small-channel convs lower badly, and
+the space-to-depth *XLA* reformulations lose too, tools/bench_enc_s2d.py).
+These Pallas kernels instead express every encoder conv as dense shifted-
+slice matmuls on ONE shared layout — the same ``[64*72 rows (+ guard), C]``
+padded-row layout the fused trunk kernels use (ops/fused_conv_int8_v2.py) —
+so the entire encoder chains kernel-to-kernel with only int8 in HBM and
+feeds the trunk directly.
+
+Layout key (all on the 64x64 "grid" of 4x4-pixel cells of the 256^2 image):
+
+  * enc0 input:  s2d-4 of the reflect-padded image — [66*72 rows, 48]
+    (48 = 4x4 pixel phases x RGB), built host^W XLA-side by
+    :func:`prep_s2d4_input`.
+  * enc0 output / enc1 input: [64-grid, 1024] where lanes are ordered
+    b-major: [b(2x2: which 128-cell)][p(2x2: pixel in cell)][c(64)]. Each
+    256-lane b-block is exactly the s2d-2 tile of one 128-grid cell, so
+    enc1 reads 128-grid neighborhoods as 256-lane slices.
+  * enc1 output / enc2 input: [64-grid, 512], lanes [b(2x2)][c(128)].
+  * enc2 output: [64-grid, 256] — the fused trunk's input, unchanged.
+
+Convolution = dense dot_generals on direct row-shifted, lane-sliced
+operands (no im2col, no zero-block K): enc0 9 taps, enc1 4 output phases x
+9 grid taps (2.25x K inflation, unavoidable when strided convs are phase-
+packed), enc2 16 dense taps with NO inflation. Stride-2 semantics come out
+of the phase bookkeeping in the weight packers; zero padding of the
+original convs maps exactly onto the zero guard rows/columns.
+
+Epilogue per kernel: instance-norm statistics folded across the phase
+blocks of each original channel, ReLU, exact per-sample amax, dynamic
+requant to int8 — identical structure to the trunk kernels.
+
+Reference behavior replicated: the three encoder convs + IN + ReLU of
+StyleCycleGANGenerator (/root/reference/model.py:130-134), int8-quantized
+with scales/biases absorbed into IN (msig_tpu/infer/quantized.py docstring).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from msig_tpu.ops.fused_conv_int8_v2 import (
+    GUARD, _interpret, _valid_mask, geometry, guard_rows,
+)
+
+_EPS = 1e-5
+WP = 72            # padded row width of the 64-grid
+SROWS = 64 * WP    # 4608
+CHUNK = 16 * WP    # 1152
+N_CHUNKS = 4
+
+# enc0 input geometry: 66x66 grid (reflect-padded image), col-padded to 72
+IN0_ROWS = 66 * WP          # 4752
+IN0_SLAB = IN0_ROWS + 32    # slack so the last chunk's +146 offset stays in bounds
+
+
+def prep_s2d4_input(img_u8: jax.Array) -> jax.Array:
+    """uint8 NHWC 256^2 image -> enc0's input slab [B, IN0_SLAB, 48] int8.
+
+    Recenters (x-128, absorbing the reference's (x/127.5 - 1) normalization
+    exactly as msig_tpu/infer/quantized.py does), reflect-pads by 4 (one
+    pixel more than the conv needs; the extra ring only ever multiplies
+    zero weights), and space-to-depths by 4 onto the 66x66 grid.
+    """
+    b = img_u8.shape[0]
+    x = (img_u8.astype(jnp.int32) - 128).astype(jnp.int8)
+    x = jnp.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)), mode="reflect")
+    x = x.reshape(b, 66, 4, 66, 4, 3).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(b, 66, 66, 48)
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, WP - 66), (0, 0)))
+    x = x.reshape(b, IN0_ROWS, 48)
+    return jnp.pad(x, ((0, 0), (0, IN0_SLAB - IN0_ROWS), (0, 0)))
+
+
+def _lane_b_major(qy: int, qx: int, c: int, cch: int = 64) -> int:
+    """Output lane of enc0 for pixel phase (qy,qx) in its 4x4 cell, chan c."""
+    b = (qy // 2) * 2 + (qx // 2)
+    p = (qy % 2) * 2 + (qx % 2)
+    return (b * 4 + p) * cch + c
+
+
+def pack_enc0(w_i8: np.ndarray) -> jax.Array:
+    """[7,7,3,64] int8 conv0 kernel -> [9*48, 1024] tap-blocked matmul rhs.
+
+    Tap t=(dy,dx) over the 66-grid; rhs rows are the input lanes
+    [py(4)][px(4)][ci(3)]; rhs cols are b-major output lanes. Entry is
+    w[u,v,ci,co] where u = 4*dy + py + (3 - qy) ... solved as
+    u = qy + u' - 3 = 4*dy + py  =>  u = 4*dy + py - qy + 3, valid in [0,7).
+    """
+    w = np.asarray(w_i8)
+    assert w.shape == (7, 7, 3, 64)
+    packed = np.zeros((9 * 48, 1024), np.int8)
+    taps = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    for t, (dy, dx) in enumerate(taps):
+        for py in range(4):
+            for px in range(4):
+                for qy in range(4):
+                    u = 4 * dy + py - qy + 3
+                    if not 0 <= u < 7:
+                        continue
+                    for qx in range(4):
+                        v = 4 * dx + px - qx + 3
+                        if not 0 <= v < 7:
+                            continue
+                        for ci in range(3):
+                            packed[t * 48 + (py * 4 + px) * 3 + ci,
+                                   _lane_b_major(qy, qx, 0) : _lane_b_major(qy, qx, 0) + 64] = \
+                                w[u, v, ci]
+    return jnp.asarray(packed)
+
+
+# (DY, by) pairs realizing each in-cell offset value v = 2*DY + by
+_V2DB = {-1: (-1, 1), 0: (0, 0), 1: (0, 1), 2: (1, 0)}
+
+
+def pack_enc1(w_i8: np.ndarray) -> jax.Array:
+    """[4,4,64,128] conv1 kernel -> [4*9*256, 128] (q-major, tap-blocked).
+
+    Output b-phase q=(ay,ax) of a 64-cell is 128-cell (2I+ay, 2J+ax); its
+    conv1 receptive field is 128-cells (ay+dy2, ax+dx2) for dy2,dx2 in
+    {-1,0,1}, i.e. 64-grid rows (I+DY, J+DX) lane-block (by,bx), with
+    (DY,by) = _V2DB[ay+dy2]. rhs rows within a block are the b-block's
+    lanes [py2(2)][px2(2)][ci(64)]; the weight tap is u = 2*dy2 + py2 + 1.
+    """
+    w = np.asarray(w_i8)
+    assert w.shape == (4, 4, 64, 128)
+    packed = np.zeros((4 * 9 * 256, 128), np.int8)
+    blk = 0
+    for ay in (0, 1):
+        for ax in (0, 1):
+            for dy2 in (-1, 0, 1):
+                for dx2 in (-1, 0, 1):
+                    for py2 in (0, 1):
+                        u = 2 * dy2 + py2 + 1
+                        if not 0 <= u < 4:
+                            continue
+                        for px2 in (0, 1):
+                            v = 2 * dx2 + px2 + 1
+                            if not 0 <= v < 4:
+                                continue
+                            r0 = blk * 256 + (py2 * 2 + px2) * 64
+                            packed[r0:r0 + 64, :] = w[u, v]
+                    blk += 1
+    return jnp.asarray(packed)
+
+
+def pack_enc2(w_i8: np.ndarray) -> jax.Array:
+    """[4,4,128,256] conv2 kernel -> [16*128, 256] tap-blocked.
+
+    Output 64-cell (I,J) reads 128-map values at in-cell offsets
+    u-1 = 2*DY + by, i.e. 16 dense taps (DY,by) x (DX,bx) — no inflation.
+    Block order: [(DY,by) for u in 0..3] x [(DX,bx) for v in 0..3].
+    """
+    w = np.asarray(w_i8)
+    assert w.shape == (4, 4, 128, 256)
+    packed = np.zeros((16 * 128, 256), np.int8)
+    blk = 0
+    for u in range(4):
+        for v in range(4):
+            packed[blk * 128:(blk + 1) * 128, :] = w[u, v]
+            blk += 1
+    return jnp.asarray(packed)
+
+
+def _epilogue_in_relu_requant(acc, o_ref, valid, fold, n, ntot, guard, srows,
+                              chunk, eps, sums, sumsq, cmin, cmax,
+                              os_ref=None):
+    """Shared IN(+phase fold)+ReLU+requant epilogue over the acc slab."""
+    c = ntot // fold
+
+    def _fold(v):
+        out = v[:, 0:c]
+        for k in range(1, fold):
+            out = out + v[:, k * c:(k + 1) * c]
+        return out
+
+    mean_c = _fold(sums) / n
+    sq_c = _fold(sumsq) / n
+    var_c = jnp.maximum(sq_c - mean_c * mean_c, 0.0)
+    a_c = jax.lax.rsqrt(var_c + eps)
+    d_c = -mean_c * a_c
+    if fold > 1:
+        a = jnp.concatenate([a_c] * fold, axis=1)
+        d = jnp.concatenate([d_c] * fold, axis=1)
+    else:
+        a, d = a_c, d_c
+    hi = jnp.maximum(a * cmax, a * cmin) + d
+    amax = jnp.max(jnp.maximum(hi, 0.0))
+    s = jnp.where(amax > 0, 127.0 / amax, 1.0)
+    if os_ref is not None:
+        os_ref[0, 0, 0] = jnp.where(amax > 0, amax / 127.0, 1.0)
+
+    n_chunks = srows // chunk
+    for ci in range(n_chunks):
+        xf = acc[pl.ds(ci * chunk, chunk), :].astype(jnp.float32)
+        y = jnp.maximum(xf * a + d, 0.0) * s
+        q = jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8)
+        o_ref[0, pl.ds(guard + ci * chunk, chunk), :] = jnp.where(
+            valid, q, jnp.int8(0))
+    o_ref[0, pl.ds(0, guard), :] = jnp.zeros((guard, ntot), jnp.int8)
+    o_ref[0, pl.ds(guard + srows, guard), :] = jnp.zeros((guard, ntot), jnp.int8)
+
+
+def _stats_update(yc, valid, sums, sumsq, cmin, cmax):
+    xf = jnp.where(valid, yc.astype(jnp.float32), 0.0)
+    sums = sums + jnp.sum(xf, axis=0, keepdims=True)
+    sumsq = sumsq + jnp.sum(xf * xf, axis=0, keepdims=True)
+    xv = jnp.where(valid, yc.astype(jnp.float32), jnp.inf)
+    cmin = jnp.minimum(cmin, jnp.min(xv, axis=0, keepdims=True))
+    xv = jnp.where(valid, yc.astype(jnp.float32), -jnp.inf)
+    cmax = jnp.maximum(cmax, jnp.max(xv, axis=0, keepdims=True))
+    return sums, sumsq, cmin, cmax
+
+
+def _kernel_enc0(eps, x_ref, w_ref, o_ref, acc):
+    """enc0: 9-tap s2d-4 conv (48 -> 1024 lanes) + IN(fold16) + ReLU + rq."""
+    valid = _valid_mask(CHUNK, WP, 64)
+    sums = jnp.zeros((1, 1024), jnp.float32)
+    sumsq = jnp.zeros((1, 1024), jnp.float32)
+    cmin = jnp.full((1, 1024), jnp.inf, jnp.float32)
+    cmax = jnp.full((1, 1024), -jnp.inf, jnp.float32)
+    offs = [(dy + 1) * WP + (dx + 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    for c in range(N_CHUNKS):
+        yc = None
+        for t, off in enumerate(offs):
+            lhs = x_ref[0, pl.ds(c * CHUNK + off, CHUNK), :]
+            d = jax.lax.dot_general(
+                lhs, w_ref[t * 48:(t + 1) * 48, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            yc = d if yc is None else yc + d
+        acc[pl.ds(c * CHUNK, CHUNK), :] = yc
+        sums, sumsq, cmin, cmax = _stats_update(yc, valid, sums, sumsq, cmin, cmax)
+    # stats fold 16 phase blocks of 64 channels; spatial n = 256^2 per chan
+    _epilogue_in_relu_requant(acc, o_ref, valid, 16, float(64 * 64 * 16), 1024,
+                              GUARD, SROWS, CHUNK, eps, sums, sumsq, cmin, cmax)
+
+
+def _kernel_enc1(eps, x_ref, w_ref, o_ref, acc):
+    """enc1: 4 phases x 9 grid taps (256-lane slices) -> 512 lanes."""
+    valid = _valid_mask(CHUNK, WP, 64)
+    sums = jnp.zeros((1, 512), jnp.float32)
+    sumsq = jnp.zeros((1, 512), jnp.float32)
+    cmin = jnp.full((1, 512), jnp.inf, jnp.float32)
+    cmax = jnp.full((1, 512), -jnp.inf, jnp.float32)
+    for c in range(N_CHUNKS):
+        phases = []
+        blk = 0
+        for ay in (0, 1):
+            for ax in (0, 1):
+                aq = None
+                for dy2 in (-1, 0, 1):
+                    DY, by = _V2DB[ay + dy2]
+                    for dx2 in (-1, 0, 1):
+                        DX, bx = _V2DB[ax + dx2]
+                        bblk = by * 2 + bx
+                        lhs = x_ref[0,
+                                    pl.ds(GUARD + c * CHUNK + DY * WP + DX, CHUNK),
+                                    bblk * 256:(bblk + 1) * 256]
+                        d = jax.lax.dot_general(
+                            lhs, w_ref[blk * 256:(blk + 1) * 256, :],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32,
+                        )
+                        aq = d if aq is None else aq + d
+                        blk += 1
+                phases.append(aq)
+        yc = jnp.concatenate(phases, axis=1)
+        acc[pl.ds(c * CHUNK, CHUNK), :] = yc
+        sums, sumsq, cmin, cmax = _stats_update(yc, valid, sums, sumsq, cmin, cmax)
+    # fold the 4 b-blocks; spatial n = 128^2 per channel
+    _epilogue_in_relu_requant(acc, o_ref, valid, 4, float(64 * 64 * 4), 512,
+                              GUARD, SROWS, CHUNK, eps, sums, sumsq, cmin, cmax)
+
+
+def _kernel_enc2(eps, x_ref, w_ref, o_ref, os_ref, acc):
+    """enc2: 16 dense taps (128-lane slices) -> 256 lanes (trunk layout)."""
+    valid = _valid_mask(CHUNK, WP, 64)
+    sums = jnp.zeros((1, 256), jnp.float32)
+    sumsq = jnp.zeros((1, 256), jnp.float32)
+    cmin = jnp.full((1, 256), jnp.inf, jnp.float32)
+    cmax = jnp.full((1, 256), -jnp.inf, jnp.float32)
+    pairs = [_V2DB[v - 1] for v in range(4)]  # (DY,by) for u = 0..3
+    for c in range(N_CHUNKS):
+        yc = None
+        blk = 0
+        for (DY, by) in pairs:
+            for (DX, bx) in pairs:
+                bblk = by * 2 + bx
+                lhs = x_ref[0,
+                            pl.ds(GUARD + c * CHUNK + DY * WP + DX, CHUNK),
+                            bblk * 128:(bblk + 1) * 128]
+                d = jax.lax.dot_general(
+                    lhs, w_ref[blk * 128:(blk + 1) * 128, :],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                yc = d if yc is None else yc + d
+                blk += 1
+        acc[pl.ds(c * CHUNK, CHUNK), :] = yc
+        sums, sumsq, cmin, cmax = _stats_update(yc, valid, sums, sumsq, cmin, cmax)
+    _epilogue_in_relu_requant(acc, o_ref, valid, 1, float(64 * 64), 256,
+                              GUARD, SROWS, CHUNK, eps, sums, sumsq, cmin, cmax,
+                              os_ref=os_ref)
+
+
+def _call(kernel, x, w, ntot, in_rows, eps):
+    bsz = x.shape[0]
+    out_rows = SROWS + 2 * GUARD
+    return pl.pallas_call(
+        functools.partial(kernel, eps),
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((1, in_rows, x.shape[2]), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, out_rows, ntot), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, out_rows, ntot), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((SROWS, ntot), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=_interpret(),
+    )(x, w)
+
+
+def enc0_in_relu_requant(x_slab, w_packed, eps: float = _EPS):
+    """[B, IN0_SLAB, 48] int8 -> [B, SROWS+2*GUARD, 1024] int8 (b-major)."""
+    assert x_slab.shape[1:] == (IN0_SLAB, 48)
+    assert w_packed.shape == (9 * 48, 1024)
+    return _call(_kernel_enc0, x_slab, w_packed, 1024, IN0_SLAB, eps)
+
+
+def enc1_in_relu_requant(x, w_packed, eps: float = _EPS):
+    """[B, SROWS+2G, 1024] -> [B, SROWS+2G, 512] int8 (b-major)."""
+    assert x.shape[1:] == (SROWS + 2 * GUARD, 1024)
+    assert w_packed.shape == (4 * 9 * 256, 128)
+    return _call(_kernel_enc1, x, w_packed, 512, SROWS + 2 * GUARD, eps)
+
+
+def enc2_in_relu_requant(x, w_packed, eps: float = _EPS):
+    """[B, SROWS+2G, 512] -> ([B, SROWS+2G, 256] int8 (trunk layout),
+    inv_scale [B,1,1] f32 — the residual carry's dequant scale)."""
+    assert x.shape[1:] == (SROWS + 2 * GUARD, 512)
+    assert w_packed.shape == (16 * 128, 256)
+    bsz = x.shape[0]
+    out_rows = SROWS + 2 * GUARD
+    return pl.pallas_call(
+        functools.partial(_kernel_enc2, eps),
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((1, out_rows, 512), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w_packed.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, out_rows, 256), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, out_rows, 256), jnp.int8),
+            jax.ShapeDtypeStruct((bsz, 1, 1), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((SROWS, 256), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=_interpret(),
+    )(x, w_packed)

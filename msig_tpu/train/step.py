@@ -28,7 +28,9 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from msig_tpu.losses import l1_loss, lsgan_fake, lsgan_real, style_content_loss
+from msig_tpu.losses import (
+    l1_loss, lsgan_fake, lsgan_real, style_content_loss_pair,
+)
 from msig_tpu.train.schedule import WEIGHT_KEYS
 from msig_tpu.train.state import Models, TrainState
 
@@ -97,27 +99,45 @@ def make_train_step(
         disc_params = state.disc_params
 
         # ---------------- Generator phase ----------------
+        # Forward-batching (math-preserving): every op in the generator,
+        # discriminator and VGG is per-sample (convs, per-sample instance
+        # norms, per-sample styles), so independent forwards through the
+        # SAME network concatenate along batch into one launch. 5 B-sized
+        # generator forwards become 3 launches (2B/2B/B), and the 6 VGG
+        # forwards one 4B launch (style_content_loss_pair). Larger batches
+        # tile the MXU better and cut per-launch overhead; loss values are
+        # unchanged (tests/test_train_step.py).
         def g_loss_fn(gen_params):
             style_A = se.apply(gen_params["SE_A"], real_A, y_org)
             style_B = se.apply(gen_params["SE_B"], real_B, y_trg)
 
-            id_B = gen_apply(gen_params["G_A2B"], real_B, style_B)
+            # G_A2B over (real_B -> identity, real_A -> fake_B), one launch
+            id_fk = gen_apply(
+                gen_params["G_A2B"],
+                jnp.concatenate([real_B, real_A], axis=0),
+                jnp.concatenate([style_B, style_B], axis=0),
+            )
+            id_B, fake_B = jnp.split(id_fk, 2, axis=0)
             loss_identity = l1_loss(id_B, real_B)
 
-            fake_B = gen_apply(gen_params["G_A2B"], real_A, style_B)
-            loss_gan_A2B = lsgan_real(disc.apply(disc_params["D_B"], fake_B, y_trg))
-            content_B, style_loss_B = style_content_loss(vgg_params, fake_B, real_B, real_A)
+            # G_B2A over (real_B -> fake_A, fake_B -> cyc_A), one launch
+            fk_cy = gen_apply(
+                gen_params["G_B2A"],
+                jnp.concatenate([real_B, fake_B], axis=0),
+                jnp.concatenate([style_A, style_A], axis=0),
+            )
+            fake_A, cyc_A = jnp.split(fk_cy, 2, axis=0)
+            cyc_B = gen_apply(gen_params["G_A2B"], fake_A, style_B)
 
-            fake_A = gen_apply(gen_params["G_B2A"], real_B, style_A)
+            loss_gan_A2B = lsgan_real(disc.apply(disc_params["D_B"], fake_B, y_trg))
             loss_gan_B2A = lsgan_real(disc.apply(disc_params["D_A"], fake_A, y_org))
-            content_A, style_loss_A = style_content_loss(vgg_params, fake_A, real_A, real_B)
+            (content_B, style_loss_B), (content_A, style_loss_A) = (
+                style_content_loss_pair(vgg_params, fake_B, real_B, real_A, fake_A)
+            )
 
             loss_gan = (loss_gan_A2B + loss_gan_B2A) / 2
             loss_style = (style_loss_A + style_loss_B) / 2
             loss_content = (content_A + content_B) / 2
-
-            cyc_A = gen_apply(gen_params["G_B2A"], fake_B, style_A)
-            cyc_B = gen_apply(gen_params["G_A2B"], fake_A, style_B)
             loss_cycle = (l1_loss(cyc_A, real_A) + l1_loss(cyc_B, real_B)) / 2
 
             individual = {
@@ -166,10 +186,19 @@ def make_train_step(
         fake_B_sg = jax.lax.stop_gradient(fake_B)
 
         def d_loss_fn(d_params):
-            loss_real_A = lsgan_real(disc.apply(d_params["D_A"], real_A, y_org))
-            loss_real_B = lsgan_real(disc.apply(d_params["D_B"], real_B, y_trg))
-            loss_fake_A = lsgan_fake(disc.apply(d_params["D_A"], fake_A_sg, y_org))
-            loss_fake_B = lsgan_fake(disc.apply(d_params["D_B"], fake_B_sg, y_trg))
+            # real+fake through each discriminator in one 2B launch
+            pa = disc.apply(d_params["D_A"],
+                            jnp.concatenate([real_A, fake_A_sg], axis=0),
+                            jnp.concatenate([y_org, y_org], axis=0))
+            pb = disc.apply(d_params["D_B"],
+                            jnp.concatenate([real_B, fake_B_sg], axis=0),
+                            jnp.concatenate([y_trg, y_trg], axis=0))
+            pa_real, pa_fake = jnp.split(pa, 2, axis=0)
+            pb_real, pb_fake = jnp.split(pb, 2, axis=0)
+            loss_real_A = lsgan_real(pa_real)
+            loss_real_B = lsgan_real(pb_real)
+            loss_fake_A = lsgan_fake(pa_fake)
+            loss_fake_B = lsgan_fake(pb_fake)
             d_loss = (loss_real_A + loss_fake_A + loss_real_B + loss_fake_B) / 2
             if r1_gamma > 0.0:
                 from msig_tpu.extensions.r1 import r1_penalty

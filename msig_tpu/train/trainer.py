@@ -98,6 +98,18 @@ class Trainer:
             device_put=(lambda b: shard_batch(self.mesh, b)) if self.mesh else None,
             second_target=getattr(cfg, "diversity_weight", 0.0) > 0.0,
         )
+        # Device-resident dataset mode: decode once, keep the whole dataset
+        # in HBM, augment on device; per-step host traffic is a few hundred
+        # bytes of indices/crop params. Big win when host->device bandwidth
+        # (or a tunneled runtime) bottlenecks the step (data/device_data.py).
+        self.device_data = None
+        if getattr(cfg, "device_data", False):
+            from msig_tpu.data.device_data import DeviceData
+
+            self.device_data = DeviceData(
+                dataset, cfg.image_size,
+                second_target=getattr(cfg, "diversity_weight", 0.0) > 0.0,
+            )
 
         # Histories (reference trainer.py:71-72, utils.py:107-108)
         self.loss_history: Dict[str, List[float]] = {k: [] for k in METRIC_KEYS}
@@ -226,7 +238,10 @@ class Trainer:
 
             epoch_metrics: List[Dict] = []
             t0 = time.time()
-            batches = self.loader.epoch(epoch)
+            if self.device_data is not None:
+                batches = self.device_data.epoch(epoch, cfg.batch_size, seed=cfg.seed)
+            else:
+                batches = self.loader.epoch(epoch)
             try:  # tqdm progress like the reference (trainer.py:300); optional
                 from tqdm import tqdm
 

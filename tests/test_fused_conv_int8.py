@@ -235,3 +235,50 @@ def test_v2_convt_up_site_matches_xla_chain(w_img, cin, cout):
     diff = np.abs(got.astype(np.int32) - ref_q.astype(np.int32))
     assert diff.max() <= 1
     assert (diff > 0).mean() < 0.01
+
+
+@pytest.mark.parametrize("w_img,cin,cout", [(64, 256, 128), (128, 128, 64)])
+def test_v2_convt_phase_split_matches_9tap(w_img, cin, cout):
+    """Phase-split ConvT kernel == the 9-tap v2 kernel, bit for bit."""
+    from msig_tpu.ops import fused_conv_int8_v2 as f2
+
+    rng = np.random.default_rng(21)
+    b = 1
+    x = rng.integers(-127, 128, (b, w_img, w_img, cin), dtype=np.int8)
+    w = rng.integers(-16, 17, (4, 4, cin, cout), dtype=np.int8)
+
+    xq = f2.to_padded_rows(jnp.asarray(x))
+    w9 = fc.pack_convt_weights(jnp.asarray(w), cin, cout)
+    ref_q, ref_s = f2.convt4x4s2_in_relu_requant(xq, w9, w_img)
+
+    wps, taps = f2.pack_convt_weights_ps(jnp.asarray(w), cin, cout)
+    got_q, got_s = f2.convt4x4s2_in_relu_requant_ps(xq, wps, taps, w_img)
+
+    np.testing.assert_array_equal(np.asarray(got_q), np.asarray(ref_q))
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s), rtol=1e-6)
+
+
+def test_v2_relu_site_128_matches_xla_chain():
+    """512^2 trunk geometry: relu site on 128x128 maps (w_img=128)."""
+    from msig_tpu.ops import fused_conv_int8_v2 as f2
+
+    rng = np.random.default_rng(31)
+    b, c, wimg = 1, 256, 128
+    x = rng.integers(-127, 128, (b, wimg, wimg, c), dtype=np.int8)
+    w = rng.integers(-32, 33, (3, 3, c, c), dtype=np.int8)
+    gamma = rng.normal(1.0, 0.5, (b, c)).astype(np.float32)
+    beta = rng.normal(0.0, 0.5, (b, c)).astype(np.float32)
+
+    ref = np.asarray(_xla_reference(jnp.asarray(x), jnp.asarray(w),
+                                    jnp.asarray(gamma), jnp.asarray(beta)))
+
+    xq = f2.to_padded_rows(jnp.asarray(x))
+    out = np.asarray(f2.conv3x3_adain_relu_requant(
+        xq, fc.pack_weights(jnp.asarray(w)), jnp.asarray(gamma),
+        jnp.asarray(beta), w_img=wimg))
+    wp, srows, _, _ = f2.geometry(wimg)
+    g = f2.guard_rows(wimg)
+    got = out[:, g:g + srows].reshape(b, wimg, wp, c)[:, :, :wimg]
+    diff = np.abs(got.astype(np.int32) - ref.astype(np.int32))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.01

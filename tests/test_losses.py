@@ -120,3 +120,28 @@ class TestVGG:
         f4 = vgg_features(params, jnp.asarray(img), upto=4)
         f5 = vgg_features(params, jnp.asarray(img), upto=5)
         np.testing.assert_allclose(np.asarray(f4[3]), np.asarray(f5[3]), rtol=1e-6)
+
+
+def test_style_content_loss_pair_matches_two_calls():
+    """One 4B-batched VGG forward == two 3-image calls (train-step fusion)."""
+    import jax
+    import numpy as np
+
+    from msig_tpu.losses import init_vgg_params, style_content_loss
+    from msig_tpu.losses.vgg import style_content_loss_pair
+
+    vgg = init_vgg_params()
+    rng = np.random.default_rng(0)
+    imgs = [jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32))
+            for _ in range(4)]
+    fake_B, real_B, real_A, fake_A = imgs
+
+    cB, sB = style_content_loss(vgg, fake_B, real_B, real_A)
+    cA, sA = style_content_loss(vgg, fake_A, real_A, real_B)
+    (cB2, sB2), (cA2, sA2) = style_content_loss_pair(
+        vgg, fake_B, real_B, real_A, fake_A)
+
+    np.testing.assert_allclose(float(cB), float(cB2), rtol=1e-5)
+    np.testing.assert_allclose(float(sB), float(sB2), rtol=1e-5)
+    np.testing.assert_allclose(float(cA), float(cA2), rtol=1e-5)
+    np.testing.assert_allclose(float(sA), float(sA2), rtol=1e-5)

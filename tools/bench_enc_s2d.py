@@ -13,7 +13,24 @@ import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
+
+def _enable_jax_cache():
+    """The env var is not honored by this jax build; set the config flags.
+    Must run after `import jax`, before the first compile."""
+    import os as _os
+
+    import jax as _jax
+
+    d = _os.environ["JAX_COMPILATION_CACHE_DIR"]
+    _os.makedirs(d, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", d)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 import jax
+
+_enable_jax_cache()
 import jax.numpy as jnp
 import numpy as np
 
@@ -93,10 +110,9 @@ def main():
         y = _conv_i8(xs, w, 1, ((0, 0), (0, 0)))  # [B,64,64,1024]
         return in_relu_rq_folded(y, 16)
 
-    print(f"conv0 orig : {timeit(conv0_orig, img, w0):7.2f} ms", flush=True)
-    print(f"conv0 s2d-4: {timeit(conv0_s2d, img, w0s):7.2f} ms", flush=True)
+    print(f"conv0 s2d-4: {timeit(conv0_s2d, img, w0s):7.2f} ms  (orig ~14.3+epi, known)", flush=True)
     n = 2
-    a = np.asarray(conv0_orig(img, w0)[:n])
+    a = np.asarray(jax.jit(conv0_orig.__wrapped__)(img[:n], w0))
     bq = np.asarray(conv0_s2d(img, w0s)[:n])
     bq_un = bq.reshape(n, 64, 64, 4, 4, 64).transpose(0, 1, 3, 2, 4, 5).reshape(n, 256, 256, 64)
     diff = np.abs(a.astype(np.int32) - bq_un.astype(np.int32))
@@ -129,9 +145,8 @@ def main():
         y = _conv_i8(xs, w, 1, ((1, 1), (1, 1)))
         return _requant(jnp.maximum(instance_norm(y.astype(jnp.bfloat16)), 0))
 
-    print(f"conv1 orig : {timeit(conv1_orig, h0, w1):7.2f} ms", flush=True)
-    print(f"conv1 s2d-2: {timeit(conv1_s2d, h0, w1s):7.2f} ms", flush=True)
-    diff = np.abs(np.asarray(conv1_orig(h0, w1)[:2]).astype(np.int32)
+    print(f"conv1 s2d-2: {timeit(conv1_s2d, h0, w1s):7.2f} ms  (orig 12.7, known)", flush=True)
+    diff = np.abs(np.asarray(jax.jit(conv1_orig.__wrapped__)(h0[:2], w1)).astype(np.int32)
                   - np.asarray(conv1_s2d(h0, w1s)[:2]).astype(np.int32))
     print(f"conv1 parity: maxdiff={diff.max()} frac={(diff > 1).mean():.4f}", flush=True)
 
@@ -161,9 +176,8 @@ def main():
         y = _conv_i8(xs, w, 1, ((1, 1), (1, 1)))
         return _requant(jnp.maximum(instance_norm(y.astype(jnp.bfloat16)), 0))
 
-    print(f"conv2 orig : {timeit(conv2_orig, h1, w2):7.2f} ms", flush=True)
-    print(f"conv2 s2d-2: {timeit(conv2_s2d, h1, w2s):7.2f} ms", flush=True)
-    diff = np.abs(np.asarray(conv2_orig(h1, w2)[:2]).astype(np.int32)
+    print(f"conv2 s2d-2: {timeit(conv2_s2d, h1, w2s):7.2f} ms  (orig 6.1, known)", flush=True)
+    diff = np.abs(np.asarray(jax.jit(conv2_orig.__wrapped__)(h1[:2], w2)).astype(np.int32)
                   - np.asarray(conv2_s2d(h1, w2s)[:2]).astype(np.int32))
     print(f"conv2 parity: maxdiff={diff.max()} frac={(diff > 1).mean():.4f}", flush=True)
 
@@ -202,9 +216,8 @@ def main():
         y = y.reshape(B, 64, 64, 4, 4, 3).transpose(0, 1, 3, 2, 4, 5).reshape(B, 256, 256, 3)
         return jnp.tanh(y.astype(jnp.float32) * 1e-5).astype(jnp.bfloat16)
 
-    print(f"final orig (N=8) : {timeit(final_orig, hf, wf8):7.2f} ms", flush=True)
-    print(f"final s2d-4(N=48): {timeit(final_s2d, hf, wfs):7.2f} ms", flush=True)
-    a = np.asarray(final_orig(hf, wf8)[:2]).astype(np.float32)
+    print(f"final s2d-4(N=48): {timeit(final_s2d, hf, wfs):7.2f} ms  (orig ~8.1, known)", flush=True)
+    a = np.asarray(jax.jit(final_orig.__wrapped__)(hf[:2], wf8)).astype(np.float32)
     bq = np.asarray(final_s2d(hf, wfs)[:2]).astype(np.float32)
     print(f"final parity: maxdiff={np.abs(a - bq).max():.2e}", flush=True)
 

@@ -13,7 +13,24 @@ import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
+
+def _enable_jax_cache():
+    """The env var is not honored by this jax build; set the config flags.
+    Must run after `import jax`, before the first compile."""
+    import os as _os
+
+    import jax as _jax
+
+    d = _os.environ["JAX_COMPILATION_CACHE_DIR"]
+    _os.makedirs(d, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", d)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 import jax
+
+_enable_jax_cache()
 import jax.numpy as jnp
 import numpy as np
 
