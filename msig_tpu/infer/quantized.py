@@ -146,12 +146,21 @@ def _fused_trunk_rows(q, hq, hs, style, n_res, w_img=64):
     """
     from msig_tpu.ops import fused_conv_int8_v2 as fc
 
+    # Hoist ALL style affines into one batched matmul up front so the 16
+    # Pallas sites run back-to-back with no interleaved XLA launches.
+    ks = jnp.stack([q[f"res{i}_{a}_k"] for i in range(n_res)
+                    for a in ("adain1", "adain2")])          # [2n, S, 2C]
+    bs = jnp.stack([q[f"res{i}_{a}_b"] for i in range(n_res)
+                    for a in ("adain1", "adain2")])          # [2n, 2C]
+    params = jnp.einsum("bs,nsc->nbc", style.astype(jnp.float32), ks) + bs[:, None, :]
+    gammas, betas = jnp.split(params, 2, axis=-1)            # [2n, B, C] each
+
     for i in range(n_res):
-        g1, b1 = _style_affine(style, q[f"res{i}_adain1_k"], q[f"res{i}_adain1_b"])
-        g2, b2 = _style_affine(style, q[f"res{i}_adain2_k"], q[f"res{i}_adain2_b"])
-        y1q = fc.conv3x3_adain_relu_requant(hq, q[f"res{i}_conv1_p"], g1, b1, w_img=w_img)
+        y1q = fc.conv3x3_adain_relu_requant(
+            hq, q[f"res{i}_conv1_p"], gammas[2 * i], betas[2 * i], w_img=w_img)
         hq, hs = fc.conv3x3_adain_residual_requant(
-            y1q, hq, hs, q[f"res{i}_conv2_p"], g2, b2, w_img=w_img)
+            y1q, hq, hs, q[f"res{i}_conv2_p"], gammas[2 * i + 1],
+            betas[2 * i + 1], w_img=w_img)
     # int8 + absorbed scale is exactly what the following conv expects;
     # rows stay guard-padded so the fused decoder can chain directly.
     return hq
