@@ -48,9 +48,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from msig_tpu.ops.fused_conv_int8_v2 import (
-    GUARD, _interpret, _valid_mask, geometry, guard_rows,
-)
+from msig_tpu.ops.fused_conv_int8_v2 import GUARD, _interpret, _valid_mask
 
 _EPS = 1e-5
 WP = 72            # padded row width of the 64-grid

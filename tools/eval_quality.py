@@ -47,7 +47,6 @@ def main():
     import msig_tpu
 
     msig_tpu.enable_persistent_compile_cache()
-    import jax.numpy as jnp
     from PIL import Image
 
     from msig_tpu.config import InferenceConfig
