@@ -145,7 +145,11 @@ def bench_train(batch=32, iters=10, warmup=2, image_size=256):
     state = create_train_state(cfg, models, jax.random.PRNGKey(0))
     vgg = init_vgg_params()
     tx_g, tx_d = make_optimizers(cfg)
-    step = jax.jit(make_train_step(models, tx_g, tx_d, cfg.ema_beta, jnp.bfloat16),
+    env = os.environ
+    bf = None if "BATCH_FORWARDS" not in env else env["BATCH_FORWARDS"] == "1"
+    vp = None if "VGG_PAIR" not in env else env["VGG_PAIR"] == "1"
+    step = jax.jit(make_train_step(models, tx_g, tx_d, cfg.ema_beta, jnp.bfloat16,
+                                   batch_forwards=bf, vgg_pair=vp),
                    donate_argnums=(0,))
     rng = np.random.default_rng(0)
     batch_data = {

@@ -274,12 +274,11 @@ class InferenceEngine:
                         ]
                         if not kept:
                             continue
-                        q.put(
-                            (
-                                np.stack([a for a, _ in kept]),
-                                [n for _, n in kept],
-                            )
-                        )
+                        arr = np.stack([a for a, _ in kept])
+                        # device_put here so the host->device copy overlaps
+                        # the previous batch's compute (it dominates e2e on
+                        # bandwidth-limited hosts).
+                        q.put((jax.device_put(arr), [n for _, n in kept]))
             finally:
                 q.put(_END)
 

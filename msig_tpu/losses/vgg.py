@@ -103,7 +103,9 @@ def _normalize_imagenet(x: jax.Array, dtype=jnp.float32) -> jax.Array:
 def _max_pool_2x2(x: jax.Array) -> jax.Array:
     # 2x2/stride-2 max pool as a reshape+max (equivalent for even H,W, and
     # reverse-mode differentiable in any dtype, unlike reduce_window-max
-    # with a non-f32 init on this JAX version).
+    # with a non-f32 init on this JAX version). A strided-slice variant
+    # avoids the padded 6-D backward broadcast but measured slower overall
+    # (round 2); the remat in style_content_loss_pair bounds its liveness.
     b, h, w, c = x.shape
     return jnp.max(x.reshape(b, h // 2, 2, w // 2, 2, c), axis=(2, 4))
 
@@ -184,7 +186,12 @@ def style_content_loss_pair(
     """
     b = fake_B.shape[0]
     stack = jnp.concatenate([fake_B, fake_A, real_A, real_B], axis=0)
-    feats = vgg_features(params, stack, upto=5)
+    # Remat: the 4B feature maps and the padded pool/Gram backward
+    # temporaries would otherwise be live simultaneously; recomputing the
+    # 5-conv prefix in the backward keeps the pair path inside HBM (this
+    # exact configuration trained 150 real-data epochs at batch 8).
+    feats = jax.checkpoint(
+        lambda prm, st: vgg_features(prm, st, upto=5))(params, stack)
 
     def group(f, i):
         return f[i * b:(i + 1) * b]

@@ -15,7 +15,14 @@ import jax.numpy as jnp
 
 
 def gram_matrix(features_nhwc: jax.Array) -> jax.Array:
-    """Batch-coupled Gram of NHWC features: ``[B*C, B*C]`` in float32."""
+    """Batch-coupled Gram of NHWC features: ``[B*C, B*C]`` in float32.
+
+    The transpose-then-matmul form measures fastest on TPU (an NHWC
+    dot_general contracting (H, W) directly avoids a padded temporary but
+    costs ~25% step time at batch 32 — measured round 2); its padded
+    [B,C,H,W] temporary is only live briefly and the batch<=16 VGG-pair
+    path rematerializes features anyway.
+    """
     b, h, w, c = features_nhwc.shape
     f = jnp.transpose(features_nhwc, (0, 3, 1, 2)).reshape(b * c, h * w)
     f = f.astype(jnp.float32)

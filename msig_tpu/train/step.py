@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import optax
 
 from msig_tpu.losses import (
-    l1_loss, lsgan_fake, lsgan_real, style_content_loss_pair,
+    l1_loss, lsgan_fake, lsgan_real, style_content_loss, style_content_loss_pair,
 )
 from msig_tpu.train.schedule import WEIGHT_KEYS
 from msig_tpu.train.state import Models, TrainState
@@ -54,6 +54,8 @@ def make_train_step(
     remat: bool = False,
     style_recon_weight: float = 0.0,
     diversity_weight: float = 0.0,
+    batch_forwards: bool | None = None,
+    vgg_pair: bool | None = None,
 ):
     """Build the fused step. Returns fn(state, batch, vgg_params, g_lr, d_lr, w).
 
@@ -94,6 +96,13 @@ def make_train_step(
     ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         real_A = prepare_images(batch["source"], compute_dtype)
         real_B = prepare_images(batch["target"], compute_dtype)
+        bsz = real_A.shape[0]
+        # Auto structure selection (trace-time, batch-size dependent):
+        # the batched 2B generator forwards and the single-4B VGG forward
+        # win at small batches but raise peak HBM liveness; at batch 32,
+        # 256^2 the 4B VGG exceeds single-chip HBM (measured, docs/PERF.md).
+        _bf = batch_forwards if batch_forwards is not None else bsz <= 16
+        _vp = vgg_pair if vgg_pair is not None else bsz <= 16
         y_org = batch["source_domain"].astype(jnp.int32)
         y_trg = batch["target_domain"].astype(jnp.int32)
         disc_params = state.disc_params
@@ -111,29 +120,40 @@ def make_train_step(
             style_A = se.apply(gen_params["SE_A"], real_A, y_org)
             style_B = se.apply(gen_params["SE_B"], real_B, y_trg)
 
-            # G_A2B over (real_B -> identity, real_A -> fake_B), one launch
-            id_fk = gen_apply(
-                gen_params["G_A2B"],
-                jnp.concatenate([real_B, real_A], axis=0),
-                jnp.concatenate([style_B, style_B], axis=0),
-            )
-            id_B, fake_B = jnp.split(id_fk, 2, axis=0)
+            if _bf:
+                # G_A2B over (real_B -> identity, real_A -> fake_B), one launch
+                id_fk = gen_apply(
+                    gen_params["G_A2B"],
+                    jnp.concatenate([real_B, real_A], axis=0),
+                    jnp.concatenate([style_B, style_B], axis=0),
+                )
+                id_B, fake_B = jnp.split(id_fk, 2, axis=0)
+                # G_B2A over (real_B -> fake_A, fake_B -> cyc_A), one launch
+                fk_cy = gen_apply(
+                    gen_params["G_B2A"],
+                    jnp.concatenate([real_B, fake_B], axis=0),
+                    jnp.concatenate([style_A, style_A], axis=0),
+                )
+                fake_A, cyc_A = jnp.split(fk_cy, 2, axis=0)
+            else:
+                id_B = gen_apply(gen_params["G_A2B"], real_B, style_B)
+                fake_B = gen_apply(gen_params["G_A2B"], real_A, style_B)
+                fake_A = gen_apply(gen_params["G_B2A"], real_B, style_A)
+                cyc_A = gen_apply(gen_params["G_B2A"], fake_B, style_A)
             loss_identity = l1_loss(id_B, real_B)
-
-            # G_B2A over (real_B -> fake_A, fake_B -> cyc_A), one launch
-            fk_cy = gen_apply(
-                gen_params["G_B2A"],
-                jnp.concatenate([real_B, fake_B], axis=0),
-                jnp.concatenate([style_A, style_A], axis=0),
-            )
-            fake_A, cyc_A = jnp.split(fk_cy, 2, axis=0)
             cyc_B = gen_apply(gen_params["G_A2B"], fake_A, style_B)
 
             loss_gan_A2B = lsgan_real(disc.apply(disc_params["D_B"], fake_B, y_trg))
             loss_gan_B2A = lsgan_real(disc.apply(disc_params["D_A"], fake_A, y_org))
-            (content_B, style_loss_B), (content_A, style_loss_A) = (
-                style_content_loss_pair(vgg_params, fake_B, real_B, real_A, fake_A)
-            )
+            if _vp:
+                (content_B, style_loss_B), (content_A, style_loss_A) = (
+                    style_content_loss_pair(vgg_params, fake_B, real_B, real_A, fake_A)
+                )
+            else:
+                content_B, style_loss_B = style_content_loss(
+                    vgg_params, fake_B, real_B, real_A)
+                content_A, style_loss_A = style_content_loss(
+                    vgg_params, fake_A, real_A, real_B)
 
             loss_gan = (loss_gan_A2B + loss_gan_B2A) / 2
             loss_style = (style_loss_A + style_loss_B) / 2
@@ -186,19 +206,25 @@ def make_train_step(
         fake_B_sg = jax.lax.stop_gradient(fake_B)
 
         def d_loss_fn(d_params):
-            # real+fake through each discriminator in one 2B launch
-            pa = disc.apply(d_params["D_A"],
-                            jnp.concatenate([real_A, fake_A_sg], axis=0),
-                            jnp.concatenate([y_org, y_org], axis=0))
-            pb = disc.apply(d_params["D_B"],
-                            jnp.concatenate([real_B, fake_B_sg], axis=0),
-                            jnp.concatenate([y_trg, y_trg], axis=0))
-            pa_real, pa_fake = jnp.split(pa, 2, axis=0)
-            pb_real, pb_fake = jnp.split(pb, 2, axis=0)
-            loss_real_A = lsgan_real(pa_real)
-            loss_real_B = lsgan_real(pb_real)
-            loss_fake_A = lsgan_fake(pa_fake)
-            loss_fake_B = lsgan_fake(pb_fake)
+            if _bf:
+                # real+fake through each discriminator in one 2B launch
+                pa = disc.apply(d_params["D_A"],
+                                jnp.concatenate([real_A, fake_A_sg], axis=0),
+                                jnp.concatenate([y_org, y_org], axis=0))
+                pb = disc.apply(d_params["D_B"],
+                                jnp.concatenate([real_B, fake_B_sg], axis=0),
+                                jnp.concatenate([y_trg, y_trg], axis=0))
+                pa_real, pa_fake = jnp.split(pa, 2, axis=0)
+                pb_real, pb_fake = jnp.split(pb, 2, axis=0)
+                loss_real_A = lsgan_real(pa_real)
+                loss_real_B = lsgan_real(pb_real)
+                loss_fake_A = lsgan_fake(pa_fake)
+                loss_fake_B = lsgan_fake(pb_fake)
+            else:
+                loss_real_A = lsgan_real(disc.apply(d_params["D_A"], real_A, y_org))
+                loss_real_B = lsgan_real(disc.apply(d_params["D_B"], real_B, y_trg))
+                loss_fake_A = lsgan_fake(disc.apply(d_params["D_A"], fake_A_sg, y_org))
+                loss_fake_B = lsgan_fake(disc.apply(d_params["D_B"], fake_B_sg, y_trg))
             d_loss = (loss_real_A + loss_fake_A + loss_real_B + loss_fake_B) / 2
             if r1_gamma > 0.0:
                 from msig_tpu.extensions.r1 import r1_penalty

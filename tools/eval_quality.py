@@ -103,10 +103,10 @@ def main():
 
         fid_gen = fid_between_dirs(out_dir, ref_d, image_size=256)
         fid_src = fid_between_dirs(args.source_dir, ref_d, image_size=256)
-        report[name] = {"proxy_fid_generated_vs_ref": round(float(fid_gen), 3),
-                        "proxy_fid_source_vs_ref": round(float(fid_src), 3)}
-        print(f"{name}: proxy-FID gen vs ref = {fid_gen:.3f}  "
-              f"(source vs ref baseline = {fid_src:.3f})", flush=True)
+        report[name] = {"proxy_fid_generated_vs_ref": round(float(fid_gen), 6),
+                        "proxy_fid_source_vs_ref": round(float(fid_src), 6)}
+        print(f"{name}: proxy-FID gen vs ref = {fid_gen:.6f}  "
+              f"(source vs ref baseline = {fid_src:.6f})", flush=True)
 
         # sample strip: source | generated for a few images
         strip = []

@@ -20,7 +20,7 @@ echo DONE
 timeout 2400 python tools/check_psnr_tpu.py > /tmp/ptb/psnr.log 2>&1
 
 # 5. Full quality eval on the final checkpoint (all 9 domains, 100 imgs)
-CKPT=$(ls -d results/tomato_r2/checkpoints/epoch_* | sort -t_ -k2 -n | tail -1)
+CKPT=results/tomato_r2/checkpoints/epoch_150
 timeout 5400 python tools/eval_quality.py --checkpoint "$CKPT" \
   --out docs/quality --n_images 100 --domains 0 --batch_size 32 \
   > /tmp/ptb/quality.log 2>&1
