@@ -273,6 +273,7 @@ def bench_e2e(n_images=512, image_size=256, quantize=True):
         gp = gen.init(jax.random.PRNGKey(0), img0, jnp.zeros((1, 256), jnp.bfloat16))
         sp = se.init(jax.random.PRNGKey(1), img0, jnp.zeros((1,), jnp.int32))
         eng = InferenceEngine.build(cfg, 10, gp, sp)
+        object.__setattr__(eng, "out_uint8", True)
         rng = np.random.default_rng(0)
         bank = jnp.asarray(rng.normal(0, 1, (10, 256)).astype(np.float32))
 
@@ -283,7 +284,7 @@ def bench_e2e(n_images=512, image_size=256, quantize=True):
                 eng.iter_input_batches(tmp), bank, "random", seed=0
             ):
                 count += len(names)
-                out_sum += float(out[0, 0, 0, 0])  # host-side touch
+                out_sum += float(np.asarray(out[0, 0, 0, 0]))  # host-side touch
             return count
 
         run_once()  # compile + warm page cache

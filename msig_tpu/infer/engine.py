@@ -51,6 +51,9 @@ class InferenceEngine:
     # int8 quantized generator (msig_tpu/infer/quantized.py): ~39 dB PSNR vs
     # the bf16 path; slightly faster on v5e. Opt-in for serving.
     quantize_int8: bool = False
+    # Yield uint8 images from translate_batches (device-side conversion);
+    # False restores [-1,1] float32 outputs.
+    out_uint8: bool = False
 
     @staticmethod
     def build(
@@ -177,15 +180,24 @@ class InferenceEngine:
                     imgs_u8 = jnp.clip(
                         jnp.round((imgs_u8.astype(jnp.float32) + 1.0) * 127.5), 0, 255
                     ).astype(jnp.uint8)
-                return quantized_generator_apply(
+                out = quantized_generator_apply(
                     q, imgs_u8, styles.astype(jnp.float32), n_res=n_res
                 )
+                if self.out_uint8:
+                    return jnp.clip(jnp.round((out.astype(jnp.float32) + 1.0)
+                                              * 127.5), 0, 255).astype(jnp.uint8)
+                return out
 
             return jax.jit(generate_q, donate_argnums=(1,))
 
         def generate(params, imgs_u8, styles):
             x = prepare_images(imgs_u8, self.compute_dtype)
             out = gen.apply(params, x, styles.astype(self.compute_dtype))
+            if self.out_uint8:
+                # [-1,1] -> uint8 ON DEVICE: 4x less device->host traffic
+                # (every consumer converts for saving anyway).
+                return jnp.clip(jnp.round((out.astype(jnp.float32) + 1.0)
+                                          * 127.5), 0, 255).astype(jnp.uint8)
             return out.astype(jnp.float32)
 
         return jax.jit(generate, donate_argnums=(1,))
