@@ -14,6 +14,7 @@ Other modes (for local tuning, not the driver metric):
 """
 
 import argparse
+import dataclasses
 import json
 import os
 import sys
@@ -272,8 +273,8 @@ def bench_e2e(n_images=512, image_size=256, quantize=True):
         img0 = jnp.zeros((1, image_size, image_size, 3), jnp.bfloat16)
         gp = gen.init(jax.random.PRNGKey(0), img0, jnp.zeros((1, 256), jnp.bfloat16))
         sp = se.init(jax.random.PRNGKey(1), img0, jnp.zeros((1,), jnp.int32))
-        eng = InferenceEngine.build(cfg, 10, gp, sp)
-        object.__setattr__(eng, "out_uint8", True)
+        eng = dataclasses.replace(InferenceEngine.build(cfg, 10, gp, sp),
+                                  out_uint8=True)
         rng = np.random.default_rng(0)
         bank = jnp.asarray(rng.normal(0, 1, (10, 256)).astype(np.float32))
 

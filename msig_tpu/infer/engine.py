@@ -211,7 +211,11 @@ class InferenceEngine:
         seed: int = 0,
         mapping: Optional[Tuple[Any, Dict, int, int]] = None,
     ) -> Iterator[Tuple[np.ndarray, List[str]]]:
-        """uint8 batches + names -> [-1,1] float translations + names.
+        """uint8 batches + names -> translated images + names.
+
+        Output dtype depends on ``out_uint8``: uint8 [0,255] images when True
+        (converted on device — 4x less device->host traffic), float32 [-1,1]
+        otherwise.
 
         ``style_mode='latent'`` (EXTENSION — not in the reference) draws
         z ~ N(0, I) per image and maps it through a
@@ -241,7 +245,11 @@ class InferenceEngine:
             n = imgs.shape[0]
             pad = self.batch_size - n
             if pad:
-                imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)], 0)
+                # iter_input_batches yields DEVICE arrays (device_put in the
+                # producer); pad on device — np.concatenate would force a
+                # device->host sync and re-upload of the whole batch.
+                xp = jnp if isinstance(imgs, jax.Array) else np
+                imgs = xp.concatenate([imgs, xp.repeat(imgs[-1:], pad, 0)], 0)
             key, sub = jax.random.split(key)
             styles = draw_styles(sub)
             out = generate(self.gen_params, jnp.asarray(imgs), styles)

@@ -25,6 +25,7 @@ its FLOPs are negligible).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict
 
 import jax
@@ -64,6 +65,9 @@ def quantize_generator_params(params: Dict[str, Any], n_residual_blocks: int) ->
     for i in range(n_residual_blocks):
         q[f"res{i}_conv1_p"] = _fc.pack_weights(q[f"res{i}_conv1"])
         q[f"res{i}_conv2_p"] = _fc.pack_weights(q[f"res{i}_conv2"])
+    from msig_tpu.ops import fused_trunk_v3 as _f3
+
+    q["trunk_w_stack"] = _f3.pack_trunk_weights(q, n_residual_blocks)
     cu0 = q["dec_up0"].shape[2]
     cu1 = q["dec_up1"].shape[2]
     q["up0_p"] = _fc.pack_convt_weights(q["dec_up0"], cu0, q["dec_up0"].shape[3])
@@ -136,22 +140,37 @@ def _style_affine(style, k, b):
     return gamma, beta
 
 
-def _fused_trunk_rows(q, hq, hs, style, n_res, w_img=64):
+def _fused_trunk_rows(q, hq, hs, style, n_res, w_img=64, v3: bool | None = None):
     """Resblock trunk on an already-quantized padded-row slab (v2 layout).
 
-    Each conv site is ONE kernel: conv3x3 + IN/AdaIN + (ReLU) + (residual) +
-    dynamic requant, whole-sample-resident in VMEM. Between kernels nothing
-    but int8 touches HBM; the residual chain is carried quantized with the
-    per-sample scale ``hs``.
+    Default (v3): the ENTIRE trunk is ONE Pallas kernel
+    (ops/fused_trunk_v3.py) — all 2*n_res conv sites back-to-back in VMEM,
+    requant passes interleaved into the next site's matmul stream, no HBM
+    traffic between sites. ``v3=False`` falls back to the round-2 per-site
+    chain (one kernel per conv site, ops/fused_conv_int8_v2.py).
     """
     from msig_tpu.ops import fused_conv_int8_v2 as fc
+    from msig_tpu.ops import fused_trunk_v3 as f3
 
-    # Hoist ALL style affines into one batched matmul up front so the 16
+    if v3 is None:
+        # Default on for the 64-grid (256^2 inputs); the 128-grid (512^2)
+        # variant needs ~68 MB of VMEM scratch — keep the per-site chain
+        # there until measured.
+        v3 = w_img == 64 and os.environ.get("MSIG_TRUNK_V3", "1") != "0"
+
+    # Hoist ALL style affines into one batched matmul up front so the
     # Pallas sites run back-to-back with no interleaved XLA launches.
     ks = jnp.stack([q[f"res{i}_{a}_k"] for i in range(n_res)
                     for a in ("adain1", "adain2")])          # [2n, S, 2C]
     bs = jnp.stack([q[f"res{i}_{a}_b"] for i in range(n_res)
                     for a in ("adain1", "adain2")])          # [2n, 2C]
+    if v3 and "trunk_w_stack" in q:
+        params = jnp.einsum("bs,nsc->bnc", style.astype(jnp.float32), ks) \
+            + bs[None, :, :]
+        gammas, betas = jnp.split(params, 2, axis=-1)        # [B, 2n, C]
+        hq, _ = f3.fused_trunk_blocks(
+            hq, hs, q["trunk_w_stack"], gammas, betas, n_res, w_img=w_img)
+        return hq
     params = jnp.einsum("bs,nsc->nbc", style.astype(jnp.float32), ks) + bs[:, None, :]
     gammas, betas = jnp.split(params, 2, axis=-1)            # [2n, B, C] each
 

@@ -104,6 +104,18 @@ class Trainer:
         # (or a tunneled runtime) bottlenecks the step (data/device_data.py).
         self.device_data = None
         if getattr(cfg, "device_data", False):
+            if self.mesh is not None:
+                # DeviceData yields single-device committed arrays, but the
+                # jitted step compiles with batch-axis shardings over the
+                # mesh — on >1 device the first step would error (and each
+                # host would build the full global batch). Guard loudly.
+                raise ValueError(
+                    "--device_data is single-device only: it keeps the decoded "
+                    "dataset resident on ONE chip, which conflicts with the "
+                    f"{len(self.mesh.devices.ravel())}-device data-parallel mesh. "
+                    "Run with --no_data_parallel, or use the host-fed pipeline "
+                    "for multi-device training."
+                )
             from msig_tpu.data.device_data import DeviceData
 
             self.device_data = DeviceData(

@@ -98,3 +98,23 @@ class TestTrainStep:
         b8["target"] = jnp.asarray(rng.integers(0, 256, (BATCH, SIZE, SIZE, 3), dtype=np.uint8))
         _, metrics = step(state, b8, vgg, jnp.float32(2e-4), jnp.float32(1e-4), w)
         assert np.isfinite(float(metrics["G_loss"]))
+
+    def test_batch_forwards_matches_unbatched(self, setup):
+        """batch_forwards=True (3 G launches + paired D/VGG) must reproduce the
+        unbatched structure's metrics AND updated params (ADVICE r2: this
+        equivalence was asserted only for the VGG pair loss before)."""
+        cfg, models, state, _, vgg, batch, w = setup
+        tx_g, tx_d = make_optimizers(cfg)
+        step_t = jax.jit(make_train_step(models, tx_g, tx_d, cfg.ema_beta,
+                                         batch_forwards=True))
+        step_f = jax.jit(make_train_step(models, tx_g, tx_d, cfg.ema_beta,
+                                         batch_forwards=False))
+        st_t, m_t = step_t(state, batch, vgg, jnp.float32(2e-4), jnp.float32(1e-4), w)
+        st_f, m_f = step_f(state, batch, vgg, jnp.float32(2e-4), jnp.float32(1e-4), w)
+        for k in m_f:
+            np.testing.assert_allclose(float(m_t[k]), float(m_f[k]),
+                                       rtol=2e-4, atol=1e-5, err_msg=k)
+        for lt, lf in zip(jax.tree.leaves(st_t.gen_params),
+                          jax.tree.leaves(st_f.gen_params)):
+            np.testing.assert_allclose(np.asarray(lt), np.asarray(lf),
+                                       rtol=2e-3, atol=2e-5)
