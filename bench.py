@@ -100,8 +100,11 @@ def bench_inference(batch_sizes=(128, 256), iters=20, warmup=3, image_size=256):
             else:
                 def step(qp, imgs_u8, bank, key, bs=bs):
                     styles = sample_styles(bank, "random", key, bs)
+                    # uint8 output = the serving image (the reference's
+                    # inference loop saves uint8 PNGs); engages the fused
+                    # conv7+tanh+uint8 final kernel (ops/fused_dec_int8.py).
                     return quantized_generator_apply(
-                        qp, imgs_u8, styles, n_res=8, out_dtype=dtype
+                        qp, imgs_u8, styles, n_res=8, out_dtype=jnp.uint8
                     )
                 p = qparams
 

@@ -180,13 +180,13 @@ class InferenceEngine:
                     imgs_u8 = jnp.clip(
                         jnp.round((imgs_u8.astype(jnp.float32) + 1.0) * 127.5), 0, 255
                     ).astype(jnp.uint8)
-                out = quantized_generator_apply(
-                    q, imgs_u8, styles.astype(jnp.float32), n_res=n_res
+                # uint8 output is handled INSIDE the quantized path: the
+                # all-Pallas decoder fuses tanh + the serving conversion
+                # into its final kernel (ops/fused_dec_int8.py).
+                return quantized_generator_apply(
+                    q, imgs_u8, styles.astype(jnp.float32), n_res=n_res,
+                    out_dtype=jnp.uint8 if self.out_uint8 else jnp.float32,
                 )
-                if self.out_uint8:
-                    return jnp.clip(jnp.round((out.astype(jnp.float32) + 1.0)
-                                              * 127.5), 0, 255).astype(jnp.uint8)
-                return out
 
             return jax.jit(generate_q, donate_argnums=(1,))
 

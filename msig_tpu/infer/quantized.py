@@ -94,6 +94,13 @@ def quantize_generator_params(params: Dict[str, Any], n_residual_blocks: int) ->
     wamax = jnp.max(jnp.abs(wout), axis=(0, 1, 2))
     ws = jnp.where(wamax > 0, wamax / 127.0, 1.0)
     w_i8 = jnp.clip(jnp.round(wout / ws), -127, 127).astype(jnp.int8)
+    # Fully-fused decoder tail (up1-on-s2d + final conv7+tanh+uint8 kernels)
+    if q["dec_up1"].shape == (4, 4, 128, 64) and w_i8.shape == (7, 7, 64, 3):
+        from msig_tpu.ops import fused_dec_int8 as _fd
+        import numpy as _np2
+
+        q["up1_s16"] = _fd.pack_up1_s2d16(_np2.asarray(q["dec_up1"]))
+        q["final_s16"] = _fd.pack_final_s2d16(_np2.asarray(w_i8))
     # Pad C_out 3 -> 8: XLA's int8 conv is 2.3x faster on the padded shape
     # (sub-lane output widths hit a slow path; measured 18.4 -> 8.1 ms at
     # B=128). The 5 zero channels are sliced off after the conv.
@@ -143,20 +150,18 @@ def _style_affine(style, k, b):
 def _fused_trunk_rows(q, hq, hs, style, n_res, w_img=64, v3: bool | None = None):
     """Resblock trunk on an already-quantized padded-row slab (v2 layout).
 
-    Default (v3): the ENTIRE trunk is ONE Pallas kernel
-    (ops/fused_trunk_v3.py) — all 2*n_res conv sites back-to-back in VMEM,
-    requant passes interleaved into the next site's matmul stream, no HBM
-    traffic between sites. ``v3=False`` falls back to the round-2 per-site
-    chain (one kernel per conv site, ops/fused_conv_int8_v2.py).
+    Default: the round-2 per-site chain (one kernel per conv site,
+    ops/fused_conv_int8_v2.py). ``v3=True`` (or MSIG_TRUNK_V3=1) runs the
+    ENTIRE trunk as ONE Pallas kernel (ops/fused_trunk_v3.py) — measured
+    SLOWER on v5e (43.9 vs 40.9 ms at B=128: Mosaic does not overlap the
+    interleaved requant with the next site's matmuls across the scratch
+    dependency), so it is kept only as an opt-in reference.
     """
     from msig_tpu.ops import fused_conv_int8_v2 as fc
     from msig_tpu.ops import fused_trunk_v3 as f3
 
     if v3 is None:
-        # Default on for the 64-grid (256^2 inputs); the 128-grid (512^2)
-        # variant needs ~68 MB of VMEM scratch — keep the per-site chain
-        # there until measured.
-        v3 = w_img == 64 and os.environ.get("MSIG_TRUNK_V3", "1") != "0"
+        v3 = w_img == 64 and os.environ.get("MSIG_TRUNK_V3", "0") == "1"
 
     # Hoist ALL style affines into one batched matmul up front so the
     # Pallas sites run back-to-back with no interleaved XLA launches.
@@ -212,14 +217,27 @@ def _fused_encoder(q, img_u8):
 
 
 def _fused_decoder(q, hq_rows, out_dtype):
-    """dec_up0 -> dec_up1 -> final conv, all int8, ups as fused Pallas sites.
+    """dec_up0 -> dec_up1 -> final conv, all int8, all fused Pallas sites.
 
-    Each upsampling site is ONE phase-split kernel (ConvT as 4 phases x 4
-    dense taps + IN + ReLU + requant) emitting the s2d layout; a cheap XLA
-    int8 transpose un-phases between sites. The final conv consumes the
-    already-requantized int8 map with the kernel-reported scale.
+    uint8 output (the serving path): up0 emits a guard-padded s2d slab, up1
+    consumes it DIRECTLY on the 64-grid (ops/fused_dec_int8.up1_s2d16 — no
+    XLA un-phase between the sites), a cheap reflect guard fill replaces
+    ReflectionPad2d, and one final kernel fuses conv7 + dequant + tanh +
+    the uint8 serving conversion. Float output falls back to the round-2
+    structure (phase-split up sites + XLA final conv).
     """
     from msig_tpu.ops import fused_conv_int8_v2 as fc
+
+    if out_dtype == jnp.uint8 and "up1_s16" in q:
+        from msig_tpu.ops import fused_dec_int8 as fd
+
+        y0, _ = fc.convt4x4s2_in_relu_requant_ps(
+            hq_rows, q["up0_ps"], fc.PS_TAPS, 64, guarded_out=True)
+        y1, inv_s = fd.up1_s2d16(y0, q["up1_s16"])
+        y1 = fd.reflect_fill_s2d16(y1)
+        u8 = fd.final7_tanh_u8(y1, q["final_s16"], q["out_wscale"],
+                               q["out_bias"], inv_s)
+        return fd.unphase_s2d16_u8(u8)
 
     b = hq_rows.shape[0]
     c1 = q["dec_up1"].shape[2]   # 128
@@ -334,4 +352,11 @@ def _final_conv(q, h, out_dtype):
     hi = jnp.pad(hi, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
     y = _conv_i8(hi, q["out_kernel_i8"], 1, ((0, 0), (0, 0)))[..., :3]
     yf = y.astype(jnp.float32) * (q["out_wscale"][None, None, None, :3] * inv_s)
-    return jnp.tanh(yf + q["out_bias"][:3]).astype(out_dtype)
+    return _to_out_dtype(jnp.tanh(yf + q["out_bias"][:3]), out_dtype)
+
+
+def _to_out_dtype(y, out_dtype):
+    """[-1,1] float -> out_dtype; uint8 means the [0,255] serving image."""
+    if out_dtype == jnp.uint8:
+        return jnp.clip(jnp.round((y + 1.0) * 127.5), 0, 255).astype(jnp.uint8)
+    return y.astype(out_dtype)

@@ -142,12 +142,14 @@ def style_content_loss(
     generated: jax.Array,
     real_style: jax.Array,
     real_content: jax.Array,
+    gram_dtype=jnp.float32,
 ) -> Tuple[jax.Array, jax.Array]:
     """(content_loss, style_loss) — semantics of reference losses.py:100-115.
 
     Style: sum over the five layers of L1 between batch-coupled Grams of
     (generated, real_style). Content: L1 between layer-4 features of
-    (generated, real_content).
+    (generated, real_content). ``gram_dtype`` sets the Gram matmul input
+    precision (fp32 accumulation either way — see ops/gram.py).
     """
     gen_feats = vgg_features(params, generated, upto=5)
     sty_feats = vgg_features(params, real_style, upto=5)
@@ -155,7 +157,8 @@ def style_content_loss(
 
     style_loss = jnp.asarray(0.0, jnp.float32)
     for g, s in zip(gen_feats, sty_feats):
-        style_loss += jnp.mean(jnp.abs(gram_matrix(g) - gram_matrix(s)))
+        style_loss += jnp.mean(jnp.abs(gram_matrix(g, gram_dtype)
+                                       - gram_matrix(s, gram_dtype)))
 
     g4 = gen_feats[_CONTENT_INDEX].astype(jnp.float32)
     c4 = con_feats[_CONTENT_INDEX].astype(jnp.float32)
@@ -169,6 +172,7 @@ def style_content_loss_pair(
     real_B: jax.Array,
     real_A: jax.Array,
     fake_A: jax.Array,
+    gram_dtype=jnp.float32,
 ) -> Tuple[Tuple[jax.Array, jax.Array], Tuple[jax.Array, jax.Array]]:
     """Both perceptual directions with ONE batched VGG forward.
 
@@ -199,10 +203,10 @@ def style_content_loss_pair(
     style_B = jnp.asarray(0.0, jnp.float32)
     style_A = jnp.asarray(0.0, jnp.float32)
     for f in feats:
-        g_fb = gram_matrix(group(f, 0))
-        g_fa = gram_matrix(group(f, 1))
-        g_ra = gram_matrix(group(f, 2))
-        g_rb = gram_matrix(group(f, 3))
+        g_fb = gram_matrix(group(f, 0), gram_dtype)
+        g_fa = gram_matrix(group(f, 1), gram_dtype)
+        g_ra = gram_matrix(group(f, 2), gram_dtype)
+        g_rb = gram_matrix(group(f, 3), gram_dtype)
         style_B += jnp.mean(jnp.abs(g_fb - g_rb))
         style_A += jnp.mean(jnp.abs(g_fa - g_ra))
 

@@ -65,6 +65,28 @@ def _valid_mask(chunk: int, wp: int, w_img: int):
     return j < w_img
 
 
+def _stats_update_slim(yc, valid, sums, sumsq, cmin, cmax):
+    """Slim per-chunk IN-stats update: ~7 VPU ops/element (was ~9).
+
+    min/max track the zero-masked ``xf`` directly instead of re-masking
+    with +/-inf, so cmin<=0<=cmax per channel. The derived requant amax is
+    exact whenever a channel's conv outputs straddle zero (essentially
+    always post-conv); otherwise it is a slight OVERestimate — a slightly
+    smaller scale, never clipping. PSNR-gated (tools/check_psnr_tpu.py).
+
+    Round-3 measured dead end, recorded: offloading sum/sumsq to skinny
+    fp32 MXU matmuls REGRESSED every kernel (enc2 4.8 -> 8.3 ms, trunk
+    40.9 -> 43.3 at B=128) — interleaving fp32 matmuls into the int8 conv
+    stream stalls the MXU on mode switches. Reductions stay on the VPU.
+    """
+    xf = jnp.where(valid, yc.astype(jnp.float32), 0.0)
+    sums = sums + jnp.sum(xf, axis=0, keepdims=True)
+    sumsq = sumsq + jnp.sum(xf * xf, axis=0, keepdims=True)
+    cmin = jnp.minimum(cmin, jnp.min(xf, axis=0, keepdims=True))
+    cmax = jnp.maximum(cmax, jnp.max(xf, axis=0, keepdims=True))
+    return sums, sumsq, cmin, cmax
+
+
 def _conv_chunk(x_ref, w_ref, cin, cout, start, offs, chunk):
     """Accumulate the 9 shifted-slice matmuls for one output chunk."""
     acc = None
@@ -88,18 +110,13 @@ def _kernel_relu(eps, cin, wp, w_img, srows, chunk, guard,
     n = float(w_img * w_img)
     sums = jnp.zeros((1, cin), jnp.float32)
     sumsq = jnp.zeros((1, cin), jnp.float32)
-    cmin = jnp.full((1, cin), jnp.inf, jnp.float32)
-    cmax = jnp.full((1, cin), -jnp.inf, jnp.float32)
+    cmin = jnp.zeros((1, cin), jnp.float32)
+    cmax = jnp.zeros((1, cin), jnp.float32)
     for c in range(n_chunks):
         yc = _conv_chunk(x_ref, w_ref, cin, cin, guard + c * chunk, offs, chunk)
         acc[pl.ds(c * chunk, chunk), :] = yc
-        xf = jnp.where(valid, yc.astype(jnp.float32), 0.0)
-        sums = sums + jnp.sum(xf, axis=0, keepdims=True)
-        sumsq = sumsq + jnp.sum(xf * xf, axis=0, keepdims=True)
-        xv = jnp.where(valid, yc.astype(jnp.float32), jnp.inf)
-        cmin = jnp.minimum(cmin, jnp.min(xv, axis=0, keepdims=True))
-        xv = jnp.where(valid, yc.astype(jnp.float32), -jnp.inf)
-        cmax = jnp.maximum(cmax, jnp.max(xv, axis=0, keepdims=True))
+        sums, sumsq, cmin, cmax = _stats_update_slim(
+            yc, valid, sums, sumsq, cmin, cmax)
 
     mean = sums / n
     var = jnp.maximum(sumsq / n - mean * mean, 0.0)
@@ -110,11 +127,13 @@ def _kernel_relu(eps, cin, wp, w_img, srows, chunk, guard,
     hi = jnp.maximum(a * cmax, a * cmin) + d
     amax = jnp.max(jnp.maximum(hi, 0.0))
     s = jnp.where(amax > 0, 127.0 / amax, 1.0)
+    a2 = a * s  # fold the requant scale into the affine: one fewer VPU op
+    d2 = d * s
 
     for c in range(n_chunks):
         xf = acc[pl.ds(c * chunk, chunk), :].astype(jnp.float32)
-        y = jnp.maximum(xf * a + d, 0.0) * s
-        q = jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8)
+        y = jnp.minimum(jnp.maximum(xf * a2 + d2, 0.0), 127.0)  # relu -> no lo clip
+        q = jnp.round(y).astype(jnp.int8)
         o_ref[0, pl.ds(guard + c * chunk, chunk), :] = jnp.where(
             valid, q, jnp.int8(0))
     o_ref[0, pl.ds(0, guard), :] = jnp.zeros((guard, cin), jnp.int8)
@@ -122,8 +141,13 @@ def _kernel_relu(eps, cin, wp, w_img, srows, chunk, guard,
 
 
 def _kernel_res(eps, cin, wp, w_img, srows, chunk, guard,
-                x_ref, h_ref, hs_ref, w_ref, g_ref, b_ref, o_ref, os_ref, acc):
-    """conv3x3(int8) -> AdaIN -> +residual -> requant(int8), one sample."""
+                x_ref, h_ref, hs_ref, w_ref, g_ref, b_ref, o_ref, os_ref,
+                acc, hnb):
+    """conv3x3(int8) -> AdaIN -> +residual -> requant(int8), one sample.
+
+    Three passes: (1) conv + MXU-offloaded sum/sumsq, (2) hn = conv*a+d+res
+    computed once into an fp32 scratch while reducing |hn| for the exact
+    amax, (3) scale+round+store from the scratch (no recompute)."""
     n_chunks = srows // chunk
     offs = [dy * wp + dx for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
     valid = _valid_mask(chunk, wp, w_img)
@@ -150,17 +174,15 @@ def _kernel_res(eps, cin, wp, w_img, srows, chunk, guard,
         xf = acc[pl.ds(c * chunk, chunk), :].astype(jnp.float32)
         hf = h_ref[0, pl.ds(guard + c * chunk, chunk), :].astype(jnp.float32) * hs
         hn = jnp.where(valid, xf * a + d + hf, 0.0)
+        hnb[pl.ds(c * chunk, chunk), :] = hn
         amax = jnp.maximum(amax, jnp.max(jnp.abs(hn)))
     s = jnp.where(amax > 0, 127.0 / amax, 1.0)
     os_ref[0, 0, 0] = jnp.where(amax > 0, amax / 127.0, 1.0)
 
     for c in range(n_chunks):
-        xf = acc[pl.ds(c * chunk, chunk), :].astype(jnp.float32)
-        hf = h_ref[0, pl.ds(guard + c * chunk, chunk), :].astype(jnp.float32) * hs
-        hn = (xf * a + d + hf) * s
-        q = jnp.clip(jnp.round(hn), -127.0, 127.0).astype(jnp.int8)
-        o_ref[0, pl.ds(guard + c * chunk, chunk), :] = jnp.where(
-            valid, q, jnp.int8(0))
+        hn = hnb[pl.ds(c * chunk, chunk), :] * s
+        q = jnp.round(jnp.clip(hn, -127.0, 127.0)).astype(jnp.int8)
+        o_ref[0, pl.ds(guard + c * chunk, chunk), :] = q
     o_ref[0, pl.ds(0, guard), :] = jnp.zeros((guard, cin), jnp.int8)
     o_ref[0, pl.ds(guard + srows, guard), :] = jnp.zeros((guard, cin), jnp.int8)
 
@@ -175,18 +197,13 @@ def _kernel_up(eps, cin, cout4, wp, w_img, srows, chunk, guard,
     n = float(w_img * w_img * 4)
     sums = jnp.zeros((1, cout4), jnp.float32)
     sumsq = jnp.zeros((1, cout4), jnp.float32)
-    cmin = jnp.full((1, cout4), jnp.inf, jnp.float32)
-    cmax = jnp.full((1, cout4), -jnp.inf, jnp.float32)
+    cmin = jnp.zeros((1, cout4), jnp.float32)
+    cmax = jnp.zeros((1, cout4), jnp.float32)
     for c in range(n_chunks):
         yc = _conv_chunk(x_ref, w_ref, cin, cout4, guard + c * chunk, offs, chunk)
         acc[pl.ds(c * chunk, chunk), :] = yc
-        xf = jnp.where(valid, yc.astype(jnp.float32), 0.0)
-        sums = sums + jnp.sum(xf, axis=0, keepdims=True)
-        sumsq = sumsq + jnp.sum(xf * xf, axis=0, keepdims=True)
-        xv = jnp.where(valid, yc.astype(jnp.float32), jnp.inf)
-        cmin = jnp.minimum(cmin, jnp.min(xv, axis=0, keepdims=True))
-        xv = jnp.where(valid, yc.astype(jnp.float32), -jnp.inf)
-        cmax = jnp.maximum(cmax, jnp.max(xv, axis=0, keepdims=True))
+        sums, sumsq, cmin, cmax = _stats_update_slim(
+            yc, valid, sums, sumsq, cmin, cmax)
 
     def _fold(v):
         return (v[:, 0 * cout:1 * cout] + v[:, 1 * cout:2 * cout]
@@ -203,11 +220,13 @@ def _kernel_up(eps, cin, cout4, wp, w_img, srows, chunk, guard,
     amax = jnp.max(jnp.maximum(hi, 0.0))
     s = jnp.where(amax > 0, 127.0 / amax, 1.0)
     os_ref[0, 0, 0] = jnp.where(amax > 0, amax / 127.0, 1.0)
+    a2 = a * s
+    d2 = d * s
 
     for c in range(n_chunks):
         xf = acc[pl.ds(c * chunk, chunk), :].astype(jnp.float32)
-        y = jnp.maximum(xf * a + d, 0.0) * s
-        q = jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8)
+        y = jnp.minimum(jnp.maximum(xf * a2 + d2, 0.0), 127.0)
+        q = jnp.round(y).astype(jnp.int8)
         o_ref[0, pl.ds(c * chunk, chunk), :] = jnp.where(valid, q, jnp.int8(0))
 
 
@@ -274,9 +293,10 @@ def conv3x3_adain_residual_requant(y1_q, h_q, h_scale, w_packed, gamma, beta,
             jax.ShapeDtypeStruct((bsz, xrows, cin), jnp.int8),
             jax.ShapeDtypeStruct((bsz, 1, 1), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((srows, cin), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((srows, cin), jnp.int32),
+                        pltpu.VMEM((srows, cin), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=_interpret(),
     )(y1_q, h_q, h_scale.reshape(bsz, 1, 1), w_packed,
       gamma[:, None, :], beta[:, None, :])
@@ -359,8 +379,8 @@ def pack_convt_weights_ps(w_hwio, cin: int, cout: int):
     return jnp.asarray(packed), taps_by_phase
 
 
-def _kernel_up_ps(eps, cin, cout, wp, w_img, srows, chunk, guard, taps_by_phase,
-                  x_ref, w_ref, o_ref, os_ref, acc):
+def _kernel_up_ps(eps, cin, cout, wp, w_img, srows, chunk, guard, out_guard,
+                  taps_by_phase, x_ref, w_ref, o_ref, os_ref, acc):
     """Phase-split ConvT4x4s2 -> IN -> ReLU -> requant (s2d out).
 
     16 dense [chunk, cin] x [cin, cout] matmuls per chunk (4 phases x 4
@@ -371,8 +391,8 @@ def _kernel_up_ps(eps, cin, cout, wp, w_img, srows, chunk, guard, taps_by_phase,
     n = float(w_img * w_img * 4)
     sums = jnp.zeros((1, cout4), jnp.float32)
     sumsq = jnp.zeros((1, cout4), jnp.float32)
-    cmin = jnp.full((1, cout4), jnp.inf, jnp.float32)
-    cmax = jnp.full((1, cout4), -jnp.inf, jnp.float32)
+    cmin = jnp.zeros((1, cout4), jnp.float32)
+    cmax = jnp.zeros((1, cout4), jnp.float32)
     for c in range(n_chunks):
         phases = []
         blk = 0
@@ -390,13 +410,8 @@ def _kernel_up_ps(eps, cin, cout, wp, w_img, srows, chunk, guard, taps_by_phase,
             phases.append(aq)
         yc = jnp.concatenate(phases, axis=1)
         acc[pl.ds(c * chunk, chunk), :] = yc
-        xf = jnp.where(valid, yc.astype(jnp.float32), 0.0)
-        sums = sums + jnp.sum(xf, axis=0, keepdims=True)
-        sumsq = sumsq + jnp.sum(xf * xf, axis=0, keepdims=True)
-        xv = jnp.where(valid, yc.astype(jnp.float32), jnp.inf)
-        cmin = jnp.minimum(cmin, jnp.min(xv, axis=0, keepdims=True))
-        xv = jnp.where(valid, yc.astype(jnp.float32), -jnp.inf)
-        cmax = jnp.maximum(cmax, jnp.max(xv, axis=0, keepdims=True))
+        sums, sumsq, cmin, cmax = _stats_update_slim(
+            yc, valid, sums, sumsq, cmin, cmax)
 
     def _fold(v):
         return (v[:, 0 * cout:1 * cout] + v[:, 1 * cout:2 * cout]
@@ -413,27 +428,40 @@ def _kernel_up_ps(eps, cin, cout, wp, w_img, srows, chunk, guard, taps_by_phase,
     amax = jnp.max(jnp.maximum(hi, 0.0))
     s = jnp.where(amax > 0, 127.0 / amax, 1.0)
     os_ref[0, 0, 0] = jnp.where(amax > 0, amax / 127.0, 1.0)
+    a2 = a * s
+    d2 = d * s
 
     for c in range(n_chunks):
         xf = acc[pl.ds(c * chunk, chunk), :].astype(jnp.float32)
-        y = jnp.maximum(xf * a + d, 0.0) * s
-        q = jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8)
-        o_ref[0, pl.ds(c * chunk, chunk), :] = jnp.where(valid, q, jnp.int8(0))
+        y = jnp.minimum(jnp.maximum(xf * a2 + d2, 0.0), 127.0)
+        q = jnp.round(y).astype(jnp.int8)
+        o_ref[0, pl.ds(out_guard + c * chunk, chunk), :] = jnp.where(
+            valid, q, jnp.int8(0))
+    if out_guard:
+        o_ref[0, pl.ds(0, out_guard), :] = jnp.zeros((out_guard, cout4), jnp.int8)
+        o_ref[0, pl.ds(out_guard + srows, out_guard), :] = jnp.zeros(
+            (out_guard, cout4), jnp.int8)
 
 
 def convt4x4s2_in_relu_requant_ps(x_q, w_packed_ps, taps_by_phase, w_img: int,
-                                  eps: float = _EPS, chunk_rows: int = 16):
+                                  eps: float = _EPS, chunk_rows: int = 16,
+                                  guarded_out: bool = False):
     """Phase-split fused upsampling site. Same contract as
     :func:`convt4x4s2_in_relu_requant` but with
-    (w_packed_ps, taps_by_phase) from :func:`pack_convt_weights_ps`."""
+    (w_packed_ps, taps_by_phase) from :func:`pack_convt_weights_ps`.
+    ``guarded_out`` emits zero guard rows around the s2d output so a
+    following slab kernel (ops/fused_dec_int8.up1_s2d16) can read shifted
+    row slices directly."""
     wp, srows, chunk, _ = geometry(w_img, chunk_rows)
     g = guard_rows(w_img)
     bsz, xrows, cin = x_q.shape
     assert xrows == srows + 2 * g, (xrows, srows)
     cout = w_packed_ps.shape[1]
     assert w_packed_ps.shape[0] == 16 * cin
+    og = g if guarded_out else 0
+    out_rows = srows + 2 * og
     kernel = functools.partial(
-        _kernel_up_ps, eps, cin, cout, wp, w_img, srows, chunk, g,
+        _kernel_up_ps, eps, cin, cout, wp, w_img, srows, chunk, g, og,
         tuple(tuple(t) for t in taps_by_phase))
     return pl.pallas_call(
         kernel,
@@ -443,11 +471,11 @@ def convt4x4s2_in_relu_requant_ps(x_q, w_packed_ps, taps_by_phase, w_img: int,
             pl.BlockSpec((16 * cin, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, srows, 4 * cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, out_rows, 4 * cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, srows, 4 * cout), jnp.int8),
+            jax.ShapeDtypeStruct((bsz, out_rows, 4 * cout), jnp.int8),
             jax.ShapeDtypeStruct((bsz, 1, 1), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((srows, 4 * cout), jnp.int32)],

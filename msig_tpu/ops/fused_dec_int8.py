@@ -1,0 +1,379 @@
+"""All-Pallas int8 decoder tail: up1-on-s2d + fused final conv7 + tanh->uint8.
+
+Round-3 stage budget (docs/PERF.md) showed the decoder's cost was mostly
+XLA layout glue: un-phasing up0's space-to-depth output back to the
+128-grid (9.2 ms at B=128) and the final reflect-pad + int8 conv7 + dequant
++ tanh stage (15.4 ms). This module removes both:
+
+  * ``up1_s2d16``: the second ConvT4x4s2 site consumes up0's s2d-4 output
+    DIRECTLY on the 64-grid (input blocks r=(ry,rx) of 128 lanes each are
+    the 128-map's 2x2 cell phases) and emits the 256-map as s2d-16 —
+    [B, 64*72 rows, 16*64 lanes], block s=(sy,sx) holding output pixel
+    (4I+sy, 4J+sx). No intermediate un-phase, no re-pad, int8-only HBM.
+    Derivation: out256(2i+qy, 2j+qx) = sum_{dy in D(qy), dx in D(qx)}
+    x128(i+dy, j+dx) * w[2dy+2-qy, 2dx+2-qx] with D(0)={-1,0}, D(1)={0,1}
+    (the validated phase-split ConvT of ops/fused_conv_int8_v2.py); writing
+    i = 2I+ry maps tap rows to (dI, ry') = divmod(ry+dy, 2) on the 64-grid
+    and output phase sy = 2*ry + qy.
+
+  * ``reflect_fill_s2d16``: the final conv7 needs reflect padding
+    (reference: /root/reference/model.py:141 nn.ReflectionPad2d(3)), but
+    the guard rows/cols of the slab layout are zeros. Reflected 256-map
+    values are exactly interior s2d cells with a phase permutation
+    (x(-k) = x(k) => guard block sy maps to interior block 4-sy etc.), so
+    a handful of cheap XLA channel-gathers fill the guards in place.
+
+  * ``final7_tanh_u8``: 7x7 conv (64->3) as 9 dense [chunk,1024]x[1024,48]
+    tap matmuls on the s2d-16 slab (output lanes = 16 phases x RGB), with
+    the dequant (weight-scale x activation inv-scale), bias, tanh and the
+    uint8 serving conversion fused into the epilogue. Replaces the XLA
+    reflect-pad + conv + slice + tanh + quantize chain.
+
+Reference scope: StyleCycleGANGenerator decoder tail
+(/root/reference/model.py:136-143) — ConvT(128->64)+IN+ReLU, reflect
+conv7(64->3), Tanh — int8-quantized per msig_tpu/infer/quantized.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from msig_tpu.ops.fused_conv_int8_v2 import (
+    _interpret,
+    _stats_update_slim,
+    _valid_mask,
+    guard_rows,
+)
+
+_EPS = 1e-5
+WP = 72
+SROWS = 64 * WP          # 4608
+CHUNK = 16 * WP          # 1152
+N_CHUNKS = SROWS // CHUNK
+
+
+def _divmod2(t: int):
+    return t // 2, t % 2  # Python floor-div handles t = -1 correctly
+
+
+# --------------------------------------------------------------- up1 on s2d
+
+
+def pack_up1_s2d16(w_hwio) -> jax.Array:
+    """[4,4,128,64] int8 ConvT kernel -> [16*4*128, 64], s-major tap blocks.
+
+    For output phase s = sy*4+sx the 4 taps (dy, dx) are laid out in
+    D(qy) x D(qx) order; each block is w[2dy+2-qy, 2dx+2-qx] (128x64).
+    """
+    w = np.asarray(w_hwio)
+    assert w.shape == (4, 4, 128, 64)
+    packed = np.zeros((16 * 4 * 128, 64), np.int8)
+    blk = 0
+    for sy in range(4):
+        ry, qy = sy // 2, sy % 2
+        dys = (-1, 0) if qy == 0 else (0, 1)
+        for sx in range(4):
+            rx, qx = sx // 2, sx % 2
+            dxs = (-1, 0) if qx == 0 else (0, 1)
+            for dy in dys:
+                for dx in dxs:
+                    packed[blk * 128:(blk + 1) * 128] = w[2 * dy + 2 - qy,
+                                                          2 * dx + 2 - qx]
+                    blk += 1
+    return jnp.asarray(packed)
+
+
+def _kernel_up1_s2d16(eps, guard, x_ref, w_ref, o_ref, os_ref, acc):
+    """ConvT4x4s2 on the s2d-4 slab -> s2d-16 slab + IN(fold16) + ReLU + rq."""
+    valid = _valid_mask(CHUNK, WP, 64)
+    n = float(256 * 256)
+    sums = jnp.zeros((1, 1024), jnp.float32)
+    sumsq = jnp.zeros((1, 1024), jnp.float32)
+    cmin = jnp.zeros((1, 1024), jnp.float32)
+    cmax = jnp.zeros((1, 1024), jnp.float32)
+    for c in range(N_CHUNKS):
+        phases = []
+        blk = 0
+        for sy in range(4):
+            ry, qy = sy // 2, sy % 2
+            dys = (-1, 0) if qy == 0 else (0, 1)
+            for sx in range(4):
+                rx, qx = sx // 2, sx % 2
+                dxs = (-1, 0) if qx == 0 else (0, 1)
+                aq = None
+                for dy in dys:
+                    dI, ry2 = _divmod2(ry + dy)
+                    for dx in dxs:
+                        dJ, rx2 = _divmod2(rx + dx)
+                        r2 = 2 * ry2 + rx2
+                        lhs = x_ref[0,
+                                    pl.ds(guard + c * CHUNK + dI * WP + dJ, CHUNK),
+                                    r2 * 128:(r2 + 1) * 128]
+                        d = jax.lax.dot_general(
+                            lhs, w_ref[blk * 128:(blk + 1) * 128, :],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32,
+                        )
+                        aq = d if aq is None else aq + d
+                        blk += 1
+                phases.append(aq)
+        yc = jnp.concatenate(phases, axis=1)
+        acc[pl.ds(c * CHUNK, CHUNK), :] = yc
+        sums, sumsq, cmin, cmax = _stats_update_slim(
+            yc, valid, sums, sumsq, cmin, cmax)
+
+    def _fold(v):
+        out = v[:, 0:64]
+        for k in range(1, 16):
+            out = out + v[:, k * 64:(k + 1) * 64]
+        return out
+
+    mean_c = _fold(sums) / n
+    sq_c = _fold(sumsq) / n
+    var_c = jnp.maximum(sq_c - mean_c * mean_c, 0.0)
+    a_c = jax.lax.rsqrt(var_c + eps)
+    d_c = -mean_c * a_c
+    a = jnp.concatenate([a_c] * 16, axis=1)
+    d = jnp.concatenate([d_c] * 16, axis=1)
+    hi = jnp.maximum(a * cmax, a * cmin) + d
+    amax = jnp.max(jnp.maximum(hi, 0.0))
+    s = jnp.where(amax > 0, 127.0 / amax, 1.0)
+    os_ref[0, 0, 0] = jnp.where(amax > 0, amax / 127.0, 1.0)
+    a2 = a * s
+    d2 = d * s
+
+    for c in range(N_CHUNKS):
+        xf = acc[pl.ds(c * CHUNK, CHUNK), :].astype(jnp.float32)
+        y = jnp.minimum(jnp.maximum(xf * a2 + d2, 0.0), 127.0)
+        q = jnp.round(y).astype(jnp.int8)
+        o_ref[0, pl.ds(c * CHUNK, CHUNK), :] = jnp.where(valid, q, jnp.int8(0))
+
+
+def up1_s2d16(x_q: jax.Array, w_packed: jax.Array, eps: float = _EPS):
+    """up0's guarded s2d-4 slab [B, g+4608+g, 512] -> (compact s2d-16 slab
+    [B, 4608, 1024] int8, inv_scale [B,1,1]). Guards + reflect halo are
+    added by :func:`reflect_fill_s2d16`."""
+    g = guard_rows(64)
+    bsz, xrows, cin = x_q.shape
+    assert xrows == SROWS + 2 * g and cin == 512, (x_q.shape,)
+    assert w_packed.shape == (16 * 4 * 128, 64)
+    return pl.pallas_call(
+        functools.partial(_kernel_up1_s2d16, eps, g),
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((1, xrows, 512), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w_packed.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, SROWS, 1024), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, SROWS, 1024), jnp.int8),
+            jax.ShapeDtypeStruct((bsz, 1, 1), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((SROWS, 1024), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(x_q, w_packed)
+
+
+# ------------------------------------------------------ reflect guard fill
+
+
+def _phase_perm(axis_map, cch: int = 64):
+    """Channel gather indices + mask for a per-axis s2d-16 block remap.
+
+    axis_map: dict dst_block_coord -> src_block_coord along ONE axis (the
+    other axis and the channel stay fixed). Returns (idx[1024], mask[1024]).
+    """
+    idx = np.arange(16 * cch, dtype=np.int32)
+    mask = np.zeros(16 * cch, dtype=bool)
+    for dst, src in axis_map.items():
+        for other in range(4):
+            d0 = (dst[0] * 4 + other if dst[1] is None
+                  else other * 4 + dst[0])
+            s0 = (src * 4 + other if dst[1] is None else other * 4 + src)
+            idx[d0 * cch:(d0 + 1) * cch] = np.arange(s0 * cch, (s0 + 1) * cch)
+            mask[d0 * cch:(d0 + 1) * cch] = True
+    return jnp.asarray(idx), jnp.asarray(mask)
+
+
+# Row (sy) remaps: dst key (block, None); col (sx) remaps: dst key (block, 1).
+_TOP_IDX, _TOP_MASK = _phase_perm({(1, None): 3, (2, None): 2, (3, None): 1})
+_BOT_IDX, _BOT_MASK = _phase_perm({(0, None): 2, (1, None): 1, (2, None): 0})
+_C64_IDX, _C64_MASK = _phase_perm({(0, 1): 2, (1, 1): 1, (2, 1): 0})
+_C71_IDX, _C71_MASK = _phase_perm({(1, 1): 3, (2, 1): 2, (3, 1): 1})
+
+
+def _gmask(x, idx, mask):
+    return jnp.where(mask.reshape((1,) * (x.ndim - 1) + (-1,)),
+                     jnp.take(x, idx, axis=-1), jnp.int8(0))
+
+
+def reflect_fill_s2d16(y: jax.Array) -> jax.Array:
+    """Compact s2d-16 slab [B, 4608, 1024] -> guarded slab with a reflect
+    halo [B, g+4608+g, 1024].
+
+    After this, the final conv7 kernel's shifted-slice reads see exactly
+    the reference's ReflectionPad2d(3) halo: reflected 256-map values are
+    interior cells with a phase-block permutation, so the halo is built
+    from row/column slivers with channel gathers and ONE concat rebuild of
+    the slab (no repeated full-slab dynamic updates — a chained .at[].set
+    version measured 28.7 ms at B=128; this form is one sequential pass).
+    """
+    b, rows, c = y.shape
+    assert rows == SROWS and c == 1024
+    g = guard_rows(64)
+    body = y.reshape(b, 64, WP, c)[:, :, :64, :]          # drop guard cols
+    # guard rows I=-1 / I=64 (x256 rows -k / 256+k -> interior, sy-permuted)
+    top = _gmask(body[:, 0:1], _TOP_IDX, _TOP_MASK)
+    bot = _gmask(body[:, 63:64], _BOT_IDX, _BOT_MASK)
+    ext = jnp.concatenate([top, body, bot], axis=1)       # [B, 66, 64, C]
+    # guard col J=64 <- col 63 (sx-permuted); col 71 of row k <- col 0 of
+    # row k+1 (the slab's flat "col -1" wrap), rows I=-1..64
+    c64 = _gmask(ext[:, :, 63:64, :], _C64_IDX, _C64_MASK)
+    c71 = jnp.concatenate(
+        [_gmask(ext[:, 1:, 0:1, :], _C71_IDX, _C71_MASK),
+         jnp.zeros((b, 1, 1, c), jnp.int8)], axis=1)
+    zmid = jnp.zeros((b, 66, 6, c), jnp.int8)
+    full = jnp.concatenate([ext, c64, zmid, c71], axis=2)  # [B, 66, 72, C]
+    # row I=-2: only its col 71 is ever read (the (I=-1, J=0) tap at
+    # dJ=-1) — the double-reflect corner, from the top guard row's col 0.
+    row_m2 = jnp.concatenate(
+        [jnp.zeros((b, 1, WP - 1, c), jnp.int8),
+         _gmask(full[:, 0:1, 0:1, :], _C71_IDX, _C71_MASK)], axis=2)
+    flat = jnp.concatenate([row_m2, full], axis=1).reshape(b, 67 * WP, c)
+    # Align: row I=-2 starts at slab row g - 2*WP (negative by 2*WP - g
+    # zeros, trimmed); bottom-pad to the guard count.
+    flat = flat[:, (2 * WP - g):, :]
+    return jnp.concatenate(
+        [flat, jnp.zeros((b, g - WP, c), jnp.int8)], axis=1)
+
+
+# --------------------------------------------------------- final conv7 site
+
+
+def pack_final_s2d16(w_hwio, cch: int = 64) -> jax.Array:
+    """[7,7,64,3] int8 conv kernel -> [9*1024, 48] offset-blocked rhs.
+
+    Offset t=(dI,dJ) over the 64-grid; rhs rows are input lanes
+    [r'(16)][ci(64)], cols are output lanes [s(16)][co(3)]. Entry is
+    w[u+3, v+3, ci, co] with u = 4*dI + r'y - sy (valid iff |u|<=3).
+    """
+    w = np.asarray(w_hwio)
+    assert w.shape[:2] == (7, 7) and w.shape[2] == cch
+    cout = w.shape[3]
+    packed = np.zeros((9 * 16 * cch, 16 * cout), np.int8)
+    taps = [(dI, dJ) for dI in (-1, 0, 1) for dJ in (-1, 0, 1)]
+    for t, (dI, dJ) in enumerate(taps):
+        for rpy in range(4):
+            for rpx in range(4):
+                rblk = rpy * 4 + rpx
+                for sy in range(4):
+                    u = 4 * dI + rpy - sy
+                    if not -3 <= u <= 3:
+                        continue
+                    for sx in range(4):
+                        v = 4 * dJ + rpx - sx
+                        if not -3 <= v <= 3:
+                            continue
+                        sblk = sy * 4 + sx
+                        packed[t * 16 * cch + rblk * cch:
+                               t * 16 * cch + (rblk + 1) * cch,
+                               sblk * cout:(sblk + 1) * cout] = w[u + 3, v + 3]
+    return jnp.asarray(packed)
+
+
+def _kernel_final7(guard, x_ref, w_ref, sv_ref, bias_ref, is_ref, o_ref):
+    """9-tap conv7 on the s2d-16 slab + dequant + tanh + uint8, one sample.
+
+    Mosaic cannot cast float->uint8, so the store is int8 holding
+    ``uint8_value - 128``; :func:`unphase_s2d16_u8` re-centers on the tiny
+    [B, 4608, 48] result.
+    """
+    valid = _valid_mask(CHUNK, WP, 64)
+    offs = [dI * WP + dJ for dI in (-1, 0, 1) for dJ in (-1, 0, 1)]
+    inv_s = is_ref[0, 0, 0]
+    sv = sv_ref[0, :, :].astype(jnp.float32) * inv_s
+    bias = bias_ref[0, :, :].astype(jnp.float32)
+    for c in range(N_CHUNKS):
+        yc = None
+        for t, off in enumerate(offs):
+            lhs = x_ref[0, pl.ds(guard + c * CHUNK + off, CHUNK), :]
+            d = jax.lax.dot_general(
+                lhs, w_ref[t * 1024:(t + 1) * 1024, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            yc = d if yc is None else yc + d
+        yf = jnp.tanh(yc.astype(jnp.float32) * sv + bias)
+        u8c = jnp.clip(jnp.round((yf + 1.0) * 127.5) - 128.0, -128.0, 127.0)
+        q = u8c.astype(jnp.int8)
+        o_ref[0, pl.ds(c * CHUNK, CHUNK), :] = jnp.where(
+            valid, q, jnp.int8(0))
+
+
+def final7_tanh_u8(x_q: jax.Array, w_packed: jax.Array, wscale: jax.Array,
+                   bias: jax.Array, inv_s: jax.Array) -> jax.Array:
+    """Reflect-guarded s2d-16 slab -> serving-ready uint8 s2d-16 [B,4608,48].
+
+    wscale/bias: per-RGB-channel dequant scale and bias ([3] each, tiled to
+    the 48 output lanes here); inv_s: [B,1,1] activation scale from up1.
+    """
+    g = guard_rows(64)
+    bsz, xrows, cin = x_q.shape
+    assert xrows == SROWS + 2 * g and cin == 1024
+    assert w_packed.shape == (9 * 1024, 48)
+    sv = jnp.tile(jnp.asarray(wscale, jnp.float32)[:3], 16)[None, None, :]
+    bv = jnp.tile(jnp.asarray(bias, jnp.float32)[:3], 16)[None, None, :]
+    return pl.pallas_call(
+        functools.partial(_kernel_final7, g),
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((1, xrows, 1024), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w_packed.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 48), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 48), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, SROWS, 48), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, SROWS, 48), jnp.int8),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(x_q, w_packed, sv, bv, inv_s)
+
+
+def unphase_s2d16_u8(y: jax.Array) -> jax.Array:
+    """[B, 4608, 48] int8 (uint8-128) s2d-16 -> [B, 256, 256, 3] uint8."""
+    b = y.shape[0]
+    v = (y.astype(jnp.int16) + 128).astype(jnp.uint8)
+    v = v.reshape(b, 64, WP, 4, 4, 3)[:, :, :64]
+    v = v.transpose(0, 1, 3, 2, 4, 5)
+    return v.reshape(b, 256, 256, 3)
+
+
+def unphase_s2d16(y: jax.Array, cch: int = 64) -> jax.Array:
+    """Compact s2d-16 slab [B, 4608, 16*cch] -> [B, 256, 256, cch]."""
+    b = y.shape[0]
+    v = y.reshape(b, 64, WP, 4, 4, cch)[:, :, :64]
+    v = v.transpose(0, 1, 3, 2, 4, 5)
+    return v.reshape(b, 256, 256, cch)

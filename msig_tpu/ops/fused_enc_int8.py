@@ -196,27 +196,23 @@ def _epilogue_in_relu_requant(acc, o_ref, valid, fold, n, ntot, guard, srows,
     s = jnp.where(amax > 0, 127.0 / amax, 1.0)
     if os_ref is not None:
         os_ref[0, 0, 0] = jnp.where(amax > 0, amax / 127.0, 1.0)
+    a2 = a * s  # fold requant scale into the affine (slim epilogue)
+    d2 = d * s
 
     n_chunks = srows // chunk
     for ci in range(n_chunks):
         xf = acc[pl.ds(ci * chunk, chunk), :].astype(jnp.float32)
-        y = jnp.maximum(xf * a + d, 0.0) * s
-        q = jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8)
+        y = jnp.minimum(jnp.maximum(xf * a2 + d2, 0.0), 127.0)
+        q = jnp.round(y).astype(jnp.int8)
         o_ref[0, pl.ds(guard + ci * chunk, chunk), :] = jnp.where(
             valid, q, jnp.int8(0))
     o_ref[0, pl.ds(0, guard), :] = jnp.zeros((guard, ntot), jnp.int8)
     o_ref[0, pl.ds(guard + srows, guard), :] = jnp.zeros((guard, ntot), jnp.int8)
 
 
-def _stats_update(yc, valid, sums, sumsq, cmin, cmax):
-    xf = jnp.where(valid, yc.astype(jnp.float32), 0.0)
-    sums = sums + jnp.sum(xf, axis=0, keepdims=True)
-    sumsq = sumsq + jnp.sum(xf * xf, axis=0, keepdims=True)
-    xv = jnp.where(valid, yc.astype(jnp.float32), jnp.inf)
-    cmin = jnp.minimum(cmin, jnp.min(xv, axis=0, keepdims=True))
-    xv = jnp.where(valid, yc.astype(jnp.float32), -jnp.inf)
-    cmax = jnp.maximum(cmax, jnp.max(xv, axis=0, keepdims=True))
-    return sums, sumsq, cmin, cmax
+# Slim per-chunk stats update (MXU-offloaded sums, zero-anchored min/max) —
+# shared with the trunk/decoder kernels.
+from msig_tpu.ops.fused_conv_int8_v2 import _stats_update_slim as _stats_update  # noqa: E402
 
 
 def _kernel_enc0(eps, x_ref, w_ref, o_ref, acc):

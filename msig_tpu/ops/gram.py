@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 
-def gram_matrix(features_nhwc: jax.Array) -> jax.Array:
+def gram_matrix(features_nhwc: jax.Array, dtype=jnp.float32) -> jax.Array:
     """Batch-coupled Gram of NHWC features: ``[B*C, B*C]`` in float32.
 
     The transpose-then-matmul form measures fastest on TPU (an NHWC
@@ -22,8 +22,17 @@ def gram_matrix(features_nhwc: jax.Array) -> jax.Array:
     costs ~25% step time at batch 32 — measured round 2); its padded
     [B,C,H,W] temporary is only live briefly and the batch<=16 VGG-pair
     path rematerializes features anyway.
+
+    ``dtype`` sets the matmul INPUT precision; accumulation and the result
+    are always float32 (``preferred_element_type``). The Gram matmuls are
+    ~11 TFLOP/step of the b32 train step (5.5 forward + 5.5 backward), and
+    fp32 runs at 1/4 the MXU's bf16 rate on v5e — ``dtype=bfloat16`` keeps
+    fp32 accumulation (K = H*W up to 65k terms) while quadrupling matmul
+    rate; only the 8-bit input mantissa rounding differs (~0.1% on the
+    style loss, measured in tools/profile_train_budget.py).
     """
     b, h, w, c = features_nhwc.shape
     f = jnp.transpose(features_nhwc, (0, 3, 1, 2)).reshape(b * c, h * w)
-    f = f.astype(jnp.float32)
-    return jnp.matmul(f, f.T, preferred_element_type=jnp.float32) / (b * c * h * w)
+    f = f.astype(dtype)
+    g = jnp.matmul(f, f.T, preferred_element_type=jnp.float32)
+    return g.astype(jnp.float32) / (b * c * h * w)

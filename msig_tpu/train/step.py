@@ -56,6 +56,7 @@ def make_train_step(
     diversity_weight: float = 0.0,
     batch_forwards: bool | None = None,
     vgg_pair: bool | None = None,
+    gram_dtype=jnp.float32,
 ):
     """Build the fused step. Returns fn(state, batch, vgg_params, g_lr, d_lr, w).
 
@@ -147,13 +148,14 @@ def make_train_step(
             loss_gan_B2A = lsgan_real(disc.apply(disc_params["D_A"], fake_A, y_org))
             if _vp:
                 (content_B, style_loss_B), (content_A, style_loss_A) = (
-                    style_content_loss_pair(vgg_params, fake_B, real_B, real_A, fake_A)
+                    style_content_loss_pair(vgg_params, fake_B, real_B, real_A,
+                                            fake_A, gram_dtype=gram_dtype)
                 )
             else:
                 content_B, style_loss_B = style_content_loss(
-                    vgg_params, fake_B, real_B, real_A)
+                    vgg_params, fake_B, real_B, real_A, gram_dtype=gram_dtype)
                 content_A, style_loss_A = style_content_loss(
-                    vgg_params, fake_A, real_A, real_B)
+                    vgg_params, fake_A, real_A, real_B, gram_dtype=gram_dtype)
 
             loss_gan = (loss_gan_A2B + loss_gan_B2A) / 2
             loss_style = (style_loss_A + style_loss_B) / 2

@@ -85,15 +85,20 @@ def main():
     enc2_j = jax.jit(lambda s: fe.enc2_in_relu_requant(s, q["enc2_p"]))
     trunk_j = jax.jit(
         lambda hq, hs, st: _fused_trunk_rows(q, hq, hs, st, 8, w_img=64))
-    trunk_v2_j = jax.jit(
-        lambda hq, hs, st: _fused_trunk_rows(q, hq, hs, st, 8, w_img=64, v3=False))
-    trunk_v3_j = jax.jit(
-        lambda hq, hs, st: _fused_trunk_rows(q, hq, hs, st, 8, w_img=64, v3=True))
     up0_j = jax.jit(
         lambda hr: f2.convt4x4s2_in_relu_requant_ps(hr, q["up0_ps"], f2.PS_TAPS, 64))
     unph0_j = jax.jit(lambda y0: f2.to_padded_rows(f2.unphase_s2d(y0, 64, 128)))
     up1_j = jax.jit(
         lambda y0r: f2.convt4x4s2_in_relu_requant_ps(y0r, q["up1_ps"], f2.PS_TAPS, 128))
+    # New fully-fused decoder tail (ops/fused_dec_int8.py)
+    from msig_tpu.ops import fused_dec_int8 as fd
+
+    up0g_j = jax.jit(lambda hr: f2.convt4x4s2_in_relu_requant_ps(
+        hr, q["up0_ps"], f2.PS_TAPS, 64, guarded_out=True))
+    up1s_j = jax.jit(lambda y0g: fd.up1_s2d16(y0g, q["up1_s16"]))
+    rfill_j = jax.jit(fd.reflect_fill_s2d16)
+    fin_j = jax.jit(lambda yr, s: fd.unphase_s2d16_u8(fd.final7_tanh_u8(
+        yr, q["final_s16"], q["out_wscale"], q["out_bias"], s)))
 
     def final(y1, inv_s):
         h64 = f2.unphase_s2d(y1, 128, 64)
@@ -105,16 +110,18 @@ def main():
 
     final_j = jax.jit(final)
     dec_j = jax.jit(lambda hr: _fused_decoder(q, hr, jnp.bfloat16))
+    dec_u8_j = jax.jit(lambda hr: _fused_decoder(q, hr, jnp.uint8))
 
-    def full(img_u8, st):
+    def full(img_u8, st, out_dtype=jnp.bfloat16):
         slab = fe.prep_s2d4_input(img_u8)
         h0 = fe.enc0_in_relu_requant(slab, q["enc0_p"])
         h1 = fe.enc1_in_relu_requant(h0, q["enc1_p"])
         hq, inv_s = fe.enc2_in_relu_requant(h1, q["enc2_p"])
         hr = _fused_trunk_rows(q, hq, inv_s.reshape(img_u8.shape[0], 1), st, 8)
-        return _fused_decoder(q, hr, jnp.bfloat16)
+        return _fused_decoder(q, hr, out_dtype)
 
     full_j = jax.jit(full)
+    full_u8_j = jax.jit(lambda i, s: full(i, s, jnp.uint8))
 
     # ---- build intermediates --------------------------------------------
     slab = prep_j(img)
@@ -126,6 +133,9 @@ def main():
     y0, _ = up0_j(hr)
     y0r = unph0_j(y0)
     y1, s1 = up1_j(y0r)
+    y0g, _ = up0g_j(hr)
+    y1s, s1s = up1s_j(y0g)
+    y1f = rfill_j(y1s)
 
     stages = [
         ("prep s2d4 (XLA)", lambda: timeit(prep_j, img)),
@@ -133,12 +143,14 @@ def main():
         ("enc1 kernel", lambda: timeit(enc1_j, h0)),
         ("enc2 kernel", lambda: timeit(enc2_j, h1)),
         ("trunk (default)", lambda: timeit(trunk_j, hq, hs, style)),
-        ("  trunk v2 (16 kernels)", lambda: timeit(trunk_v2_j, hq, hs, style)),
-        ("  trunk v3 (one kernel)", lambda: timeit(trunk_v3_j, hq, hs, style)),
-        ("up0 kernel (ps)", lambda: timeit(up0_j, hr)),
-        ("unphase0+pad (XLA)", lambda: timeit(unph0_j, y0)),
-        ("up1 kernel (ps)", lambda: timeit(up1_j, y0r)),
-        ("final conv+tanh (XLA)", lambda: timeit(final_j, y1, s1)),
+        ("  up0 kernel (ps)", lambda: timeit(up0_j, hr)),
+        ("  unphase0+pad (XLA)", lambda: timeit(unph0_j, y0)),
+        ("  up1 kernel (ps)", lambda: timeit(up1_j, y0r)),
+        ("  final conv+tanh (XLA)", lambda: timeit(final_j, y1, s1)),
+        ("up0 kernel (guarded)", lambda: timeit(up0g_j, hr)),
+        ("up1-on-s2d kernel", lambda: timeit(up1s_j, y0g)),
+        ("reflect fill (XLA)", lambda: timeit(rfill_j, y1s)),
+        ("final7+tanh+u8 kernel", lambda: timeit(fin_j, y1f, s1s)),
     ]
     total = 0.0
     for name, f in stages:
@@ -148,9 +160,13 @@ def main():
         print(f"{name:26s}: {ms:7.2f} ms  ({1000 * ms / B:5.1f} us/img)", flush=True)
     print(f"{'sum of stages':26s}: {total:7.2f} ms -> {B / total * 1000:.0f} img/s")
     dec = timeit(dec_j, hr)
-    print(f"{'decoder (one jit)':26s}: {dec:7.2f} ms")
+    print(f"{'decoder r2 (one jit)':26s}: {dec:7.2f} ms")
+    dec8 = timeit(dec_u8_j, hr)
+    print(f"{'decoder u8 (one jit)':26s}: {dec8:7.2f} ms")
     fullt = timeit(full_j, img, style)
-    print(f"{'FULL path (one jit)':26s}: {fullt:7.2f} ms -> {B / fullt * 1000:.0f} img/s")
+    print(f"{'FULL bf16-out (one jit)':26s}: {fullt:7.2f} ms -> {B / fullt * 1000:.0f} img/s")
+    fullt8 = timeit(full_u8_j, img, style)
+    print(f"{'FULL u8-out (one jit)':26s}: {fullt8:7.2f} ms -> {B / fullt8 * 1000:.0f} img/s")
 
 
 if __name__ == "__main__":

@@ -54,6 +54,10 @@ from msig_tpu.train.step import make_train_step, prepare_images
 B = int(os.environ.get("B", "32"))
 SIZE = int(os.environ.get("SIZE", "256"))
 ITERS = int(os.environ.get("ITERS", "5"))
+# "float32" (reference parity) | "bfloat16" (fp32-accumulated bf16 Gram
+# matmuls — the G phase's dominant fp32 MXU work, see ops/gram.py)
+GRAM_DTYPE = os.environ.get("GRAM_DTYPE", "float32")
+STAGES = os.environ.get("STAGES", "1") != "0"  # 0: only G phase + full step
 
 
 def _sync(x):
@@ -92,6 +96,8 @@ def main():
 
     gen, se, disc = models.generator, models.style_encoder, models.discriminator
     dt = jnp.bfloat16
+    gdt = jnp.bfloat16 if GRAM_DTYPE == "bfloat16" else jnp.float32
+    print(f"gram_dtype = {GRAM_DTYPE}", flush=True)
     rA = prepare_images(real_A, dt)
     rB = prepare_images(real_B, dt)
 
@@ -115,8 +121,8 @@ def main():
 
     @jax.jit
     def vgg_fwd(vp, fake_B, fake_A):
-        cB, sB = style_content_loss(vp, fake_B, rB, rA)
-        cA, sA = style_content_loss(vp, fake_A, rA, rB)
+        cB, sB = style_content_loss(vp, fake_B, rB, rA, gram_dtype=gdt)
+        cA, sA = style_content_loss(vp, fake_A, rA, rB, gram_dtype=gdt)
         return cB + sB + cA + sA
 
     def g_loss_fn(gp, dp, vp):
@@ -129,8 +135,8 @@ def main():
         cyc_B = gen.apply(gp["G_A2B"], fake_A, sB)
         loss_gan = (lsgan_real(disc.apply(dp["D_B"], fake_B, y_trg))
                     + lsgan_real(disc.apply(dp["D_A"], fake_A, y_org))) / 2
-        cB, sLB = style_content_loss(vp, fake_B, rB, rA)
-        cA, sLA = style_content_loss(vp, fake_A, rA, rB)
+        cB, sLB = style_content_loss(vp, fake_B, rB, rA, gram_dtype=gdt)
+        cA, sLA = style_content_loss(vp, fake_A, rA, rB, gram_dtype=gdt)
         loss = (loss_gan + l1_loss(id_B, rB)
                 + (l1_loss(cyc_A, rA) + l1_loss(cyc_B, rB)) / 2
                 + (cA + cB) / 2 + (sLA + sLB) / 2)
@@ -165,7 +171,8 @@ def main():
         dp = optax.apply_updates(st.disc_params, upd)
         return d_loss, jax.tree.leaves(dp)[0].sum()
 
-    full = jax.jit(make_train_step(models, tx_g, tx_d, cfg.ema_beta, dt))
+    full = jax.jit(make_train_step(models, tx_g, tx_d, cfg.ema_beta, dt,
+                                   gram_dtype=gdt))
 
     fB = gen.apply(state.gen_params["G_A2B"], rA,
                    se.apply(state.gen_params["SE_B"], rB, y_trg))
@@ -179,14 +186,20 @@ def main():
         rows.append((name, ms))
         print(f"{name:22s}: {ms:8.1f} ms", flush=True)
 
-    add("SE fwd (x2)", timeit(se_fwd, state.gen_params))
-    add("G 5-forwards (+SE)", timeit(g5_fwd, state.gen_params))
-    add("VGG+Gram fwd (x2)", timeit(vgg_fwd, vgg, fB, fA))
-    add("G fwd full loss", timeit(g_fwd_loss, state.gen_params, state.disc_params, vgg))
+    if STAGES:
+        add("SE fwd (x2)", timeit(se_fwd, state.gen_params))
+        add("G 5-forwards (+SE)", timeit(g5_fwd, state.gen_params))
+        add("VGG+Gram fwd (x2)", timeit(vgg_fwd, vgg, fB, fA))
+        add("G fwd full loss", timeit(g_fwd_loss, state.gen_params,
+                                      state.disc_params, vgg))
+    gval = jax.device_get(g_fwd_loss(state.gen_params, state.disc_params, vgg))
+    print(f"g_loss value ({GRAM_DTYPE} grams): {float(gval):.8f}", flush=True)
     add("G phase (grad+Adam)", timeit(g_phase, state, vgg))
     add("D phase (grad+Adam)", timeit(d_phase, state, fA, fB))
     add("FULL fused step", timeit(lambda s: full(s, batch, vgg, g_lr, d_lr, w_vec)[1],
                                   state))
+    if not STAGES:
+        return
 
     d = dict(rows)
     print("\n--- derived budget (ms) ---")
