@@ -152,13 +152,21 @@ def _kernel_up1_s2d16(eps, guard, x_ref, w_ref, o_ref, os_ref, acc):
         xf = acc[pl.ds(c * CHUNK, CHUNK), :].astype(jnp.float32)
         y = jnp.minimum(jnp.maximum(xf * a2 + d2, 0.0), 127.0)
         q = jnp.round(y).astype(jnp.int8)
-        o_ref[0, pl.ds(c * CHUNK, CHUNK), :] = jnp.where(valid, q, jnp.int8(0))
+        o_ref[0, pl.ds(guard + c * CHUNK, CHUNK), :] = jnp.where(
+            valid, q, jnp.int8(0))
+    o_ref[0, pl.ds(0, guard), :] = jnp.zeros((guard, 1024), jnp.int8)
+    o_ref[0, pl.ds(guard + SROWS, guard), :] = jnp.zeros((guard, 1024), jnp.int8)
 
 
 def up1_s2d16(x_q: jax.Array, w_packed: jax.Array, eps: float = _EPS):
-    """up0's guarded s2d-4 slab [B, g+4608+g, 512] -> (compact s2d-16 slab
-    [B, 4608, 1024] int8, inv_scale [B,1,1]). Guards + reflect halo are
-    added by :func:`reflect_fill_s2d16`."""
+    """up0's guarded s2d-4 slab [B, g+4608+g, 512] -> (zero-guarded s2d-16
+    slab [B, g+4608+g, 1024] int8, inv_scale [B,1,1]).
+
+    The guards stay ZERO: the final conv7 kernel computes with zero-pad
+    semantics and :func:`final_border_fix` repairs the 3-pixel reflect
+    border afterwards (a 600 MB in-slab reflect halo measured 14.5 ms of
+    XLA copies at B=128 — the border strips are ~5% of the pixels).
+    """
     g = guard_rows(64)
     bsz, xrows, cin = x_q.shape
     assert xrows == SROWS + 2 * g and cin == 512, (x_q.shape,)
@@ -173,13 +181,13 @@ def up1_s2d16(x_q: jax.Array, w_packed: jax.Array, eps: float = _EPS):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, SROWS, 1024), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, xrows, 1024), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, SROWS, 1024), jnp.int8),
+            jax.ShapeDtypeStruct((bsz, xrows, 1024), jnp.int8),
             jax.ShapeDtypeStruct((bsz, 1, 1), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((SROWS, 1024), jnp.int32)],
@@ -192,74 +200,12 @@ def up1_s2d16(x_q: jax.Array, w_packed: jax.Array, eps: float = _EPS):
 # ------------------------------------------------------ reflect guard fill
 
 
-def _phase_perm(axis_map, cch: int = 64):
-    """Channel gather indices + mask for a per-axis s2d-16 block remap.
-
-    axis_map: dict dst_block_coord -> src_block_coord along ONE axis (the
-    other axis and the channel stay fixed). Returns (idx[1024], mask[1024]).
-    """
-    idx = np.arange(16 * cch, dtype=np.int32)
-    mask = np.zeros(16 * cch, dtype=bool)
-    for dst, src in axis_map.items():
-        for other in range(4):
-            d0 = (dst[0] * 4 + other if dst[1] is None
-                  else other * 4 + dst[0])
-            s0 = (src * 4 + other if dst[1] is None else other * 4 + src)
-            idx[d0 * cch:(d0 + 1) * cch] = np.arange(s0 * cch, (s0 + 1) * cch)
-            mask[d0 * cch:(d0 + 1) * cch] = True
-    return jnp.asarray(idx), jnp.asarray(mask)
-
-
-# Row (sy) remaps: dst key (block, None); col (sx) remaps: dst key (block, 1).
-_TOP_IDX, _TOP_MASK = _phase_perm({(1, None): 3, (2, None): 2, (3, None): 1})
-_BOT_IDX, _BOT_MASK = _phase_perm({(0, None): 2, (1, None): 1, (2, None): 0})
-_C64_IDX, _C64_MASK = _phase_perm({(0, 1): 2, (1, 1): 1, (2, 1): 0})
-_C71_IDX, _C71_MASK = _phase_perm({(1, 1): 3, (2, 1): 2, (3, 1): 1})
-
-
-def _gmask(x, idx, mask):
-    return jnp.where(mask.reshape((1,) * (x.ndim - 1) + (-1,)),
-                     jnp.take(x, idx, axis=-1), jnp.int8(0))
-
-
-def reflect_fill_s2d16(y: jax.Array) -> jax.Array:
-    """Compact s2d-16 slab [B, 4608, 1024] -> guarded slab with a reflect
-    halo [B, g+4608+g, 1024].
-
-    After this, the final conv7 kernel's shifted-slice reads see exactly
-    the reference's ReflectionPad2d(3) halo: reflected 256-map values are
-    interior cells with a phase-block permutation, so the halo is built
-    from row/column slivers with channel gathers and ONE concat rebuild of
-    the slab (no repeated full-slab dynamic updates — a chained .at[].set
-    version measured 28.7 ms at B=128; this form is one sequential pass).
-    """
-    b, rows, c = y.shape
-    assert rows == SROWS and c == 1024
-    g = guard_rows(64)
-    body = y.reshape(b, 64, WP, c)[:, :, :64, :]          # drop guard cols
-    # guard rows I=-1 / I=64 (x256 rows -k / 256+k -> interior, sy-permuted)
-    top = _gmask(body[:, 0:1], _TOP_IDX, _TOP_MASK)
-    bot = _gmask(body[:, 63:64], _BOT_IDX, _BOT_MASK)
-    ext = jnp.concatenate([top, body, bot], axis=1)       # [B, 66, 64, C]
-    # guard col J=64 <- col 63 (sx-permuted); col 71 of row k <- col 0 of
-    # row k+1 (the slab's flat "col -1" wrap), rows I=-1..64
-    c64 = _gmask(ext[:, :, 63:64, :], _C64_IDX, _C64_MASK)
-    c71 = jnp.concatenate(
-        [_gmask(ext[:, 1:, 0:1, :], _C71_IDX, _C71_MASK),
-         jnp.zeros((b, 1, 1, c), jnp.int8)], axis=1)
-    zmid = jnp.zeros((b, 66, 6, c), jnp.int8)
-    full = jnp.concatenate([ext, c64, zmid, c71], axis=2)  # [B, 66, 72, C]
-    # row I=-2: only its col 71 is ever read (the (I=-1, J=0) tap at
-    # dJ=-1) — the double-reflect corner, from the top guard row's col 0.
-    row_m2 = jnp.concatenate(
-        [jnp.zeros((b, 1, WP - 1, c), jnp.int8),
-         _gmask(full[:, 0:1, 0:1, :], _C71_IDX, _C71_MASK)], axis=2)
-    flat = jnp.concatenate([row_m2, full], axis=1).reshape(b, 67 * WP, c)
-    # Align: row I=-2 starts at slab row g - 2*WP (negative by 2*WP - g
-    # zeros, trimmed); bottom-pad to the guard count.
-    flat = flat[:, (2 * WP - g):, :]
-    return jnp.concatenate(
-        [flat, jnp.zeros((b, g - WP, c), jnp.int8)], axis=1)
+# (Round-3 dead end, recorded: materializing a reflect halo INTO the slab
+# was tried two ways — chained .at[].set guard updates (28.7 ms at B=128)
+# and a single concat rebuild (14.5 ms): both re-copy the ~600 MB slab
+# through XLA for a 3-pixel border. The shipping design instead computes
+# the final conv with zero-pad semantics and repairs the border strips in
+# XLA — msig_tpu/infer/quantized.py::_border_fix.)
 
 
 # --------------------------------------------------------- final conv7 site
@@ -372,8 +318,9 @@ def unphase_s2d16_u8(y: jax.Array) -> jax.Array:
 
 
 def unphase_s2d16(y: jax.Array, cch: int = 64) -> jax.Array:
-    """Compact s2d-16 slab [B, 4608, 16*cch] -> [B, 256, 256, cch]."""
+    """Guarded s2d-16 slab [B, g+4608+g, 16*cch] -> [B, 256, 256, cch]."""
+    g = guard_rows(64)
     b = y.shape[0]
-    v = y.reshape(b, 64, WP, 4, 4, cch)[:, :, :64]
+    v = y[:, g:g + SROWS, :].reshape(b, 64, WP, 4, 4, cch)[:, :, :64]
     v = v.transpose(0, 1, 3, 2, 4, 5)
     return v.reshape(b, 256, 256, cch)

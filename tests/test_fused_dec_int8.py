@@ -58,15 +58,20 @@ def test_up1_s2d16_matches_round2_composition():
 
 
 def _slab_from_map(x):
-    """[B,256,256,C] int8 -> compact s2d-16 slab [B, 4608, 16*C]."""
+    """[B,256,256,C] int8 -> zero-guarded s2d-16 slab [B, g+4608+g, 16*C]."""
     b, _, _, c = x.shape
+    g = f2.guard_rows(64)
     v = x.reshape(b, 64, 4, 64, 4, c).transpose(0, 1, 3, 2, 4, 5)
     v = v.reshape(b, 64, 64, 16 * c)
     v = jnp.pad(v, ((0, 0), (0, 0), (0, 8), (0, 0)))
-    return v.reshape(b, fd.SROWS, 16 * c)
+    v = v.reshape(b, fd.SROWS, 16 * c)
+    return jnp.pad(v, ((0, 0), (g, g), (0, 0)))
 
 
-def test_final7_matches_xla_reference():
+def test_final7_plus_border_fix_matches_xla_reference():
+    """final7 kernel (zero-pad) + _border_fix == reflect-pad XLA reference."""
+    from msig_tpu.infer.quantized import _border_fix
+
     rng = np.random.default_rng(1)
     x = rng.integers(-127, 128, (B, 256, 256, 64), dtype=np.int8)
     w = rng.integers(-127, 128, (7, 7, 64, 3), dtype=np.int8)
@@ -74,10 +79,14 @@ def test_final7_matches_xla_reference():
     bias = rng.uniform(-0.3, 0.3, 3).astype(np.float32)
     inv_s = rng.uniform(0.005, 0.05, (B, 1, 1)).astype(np.float32)
 
-    slab = fd.reflect_fill_s2d16(_slab_from_map(jnp.asarray(x)))
+    slab = _slab_from_map(jnp.asarray(x))
     u8 = fd.final7_tanh_u8(slab, fd.pack_final_s2d16(w), jnp.asarray(ws),
                            jnp.asarray(bias), jnp.asarray(inv_s))
-    got = np.asarray(fd.unphase_s2d16_u8(u8))
+    q = {"out_kernel_i8": jnp.pad(jnp.asarray(w), ((0, 0), (0, 0), (0, 0), (0, 5))),
+         "out_wscale": jnp.pad(jnp.asarray(ws), (0, 5), constant_values=1.0),
+         "out_bias": jnp.pad(jnp.asarray(bias), (0, 5))}
+    got = np.asarray(_border_fix(fd.unphase_s2d16_u8(u8), slab, q,
+                                 jnp.asarray(inv_s)))
 
     hi = jnp.pad(jnp.asarray(x), ((0, 0), (3, 3), (3, 3), (0, 0)),
                  mode="reflect")

@@ -93,12 +93,15 @@ def main():
     # New fully-fused decoder tail (ops/fused_dec_int8.py)
     from msig_tpu.ops import fused_dec_int8 as fd
 
+    from msig_tpu.infer.quantized import _border_fix
+
     up0g_j = jax.jit(lambda hr: f2.convt4x4s2_in_relu_requant_ps(
         hr, q["up0_ps"], f2.PS_TAPS, 64, guarded_out=True))
     up1s_j = jax.jit(lambda y0g: fd.up1_s2d16(y0g, q["up1_s16"]))
-    rfill_j = jax.jit(fd.reflect_fill_s2d16)
-    fin_j = jax.jit(lambda yr, s: fd.unphase_s2d16_u8(fd.final7_tanh_u8(
-        yr, q["final_s16"], q["out_wscale"], q["out_bias"], s)))
+    fin_j = jax.jit(lambda yr, s: _border_fix(
+        fd.unphase_s2d16_u8(fd.final7_tanh_u8(
+            yr, q["final_s16"], q["out_wscale"], q["out_bias"], s)),
+        yr, q, s))
 
     def final(y1, inv_s):
         h64 = f2.unphase_s2d(y1, 128, 64)
@@ -135,7 +138,6 @@ def main():
     y1, s1 = up1_j(y0r)
     y0g, _ = up0g_j(hr)
     y1s, s1s = up1s_j(y0g)
-    y1f = rfill_j(y1s)
 
     stages = [
         ("prep s2d4 (XLA)", lambda: timeit(prep_j, img)),
@@ -149,8 +151,7 @@ def main():
         ("  final conv+tanh (XLA)", lambda: timeit(final_j, y1, s1)),
         ("up0 kernel (guarded)", lambda: timeit(up0g_j, hr)),
         ("up1-on-s2d kernel", lambda: timeit(up1s_j, y0g)),
-        ("reflect fill (XLA)", lambda: timeit(rfill_j, y1s)),
-        ("final7+tanh+u8 kernel", lambda: timeit(fin_j, y1f, s1s)),
+        ("final7+unph+borders", lambda: timeit(fin_j, y1s, s1s)),
     ]
     total = 0.0
     for name, f in stages:
