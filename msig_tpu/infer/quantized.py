@@ -236,7 +236,7 @@ def _fused_decoder(q, hq_rows, out_dtype):
         y1, inv_s = fd.up1_s2d16(y0, q["up1_s16"])
         u8 = fd.final7_tanh_u8(y1, q["final_s16"], q["out_wscale"],
                                q["out_bias"], inv_s)
-        return _border_fix(fd.unphase_s2d16_u8(u8), y1, q, inv_s)
+        return fd.unphase_s2d16_u8(u8)
 
     b = hq_rows.shape[0]
     c1 = q["dec_up1"].shape[2]   # 128
@@ -359,48 +359,3 @@ def _to_out_dtype(y, out_dtype):
     if out_dtype == jnp.uint8:
         return jnp.clip(jnp.round((y + 1.0) * 127.5), 0, 255).astype(jnp.uint8)
     return y.astype(out_dtype)
-
-
-def _border_fix(img_u8, y1_slab, q, inv_s):
-    """Repair the 3-pixel reflect border of the fused final conv's output.
-
-    The final7 kernel computes the 7x7 conv with ZERO padding (the slab's
-    guards are zeros); the reference uses ReflectionPad2d(3)
-    (/root/reference/model.py:141). Only outputs within 3 pixels of an
-    edge differ, so four thin strips (~5% of pixels) are recomputed with
-    true reflect padding via the XLA int8 conv and pasted over.
-    """
-    from msig_tpu.ops import fused_conv_int8_v2 as fc
-    from msig_tpu.ops.fused_dec_int8 import SROWS, WP
-
-    b = img_u8.shape[0]
-    g = fc.guard_rows(64)
-    grid = y1_slab[:, g:g + SROWS, :].reshape(b, 64, WP, 1024)[:, :, :64, :]
-
-    def unph(v):
-        bb, hI, wJ, c16 = v.shape
-        u = v.reshape(bb, hI, wJ, 4, 4, 64).transpose(0, 1, 3, 2, 4, 5)
-        return u.reshape(bb, 4 * hI, 4 * wJ, 64)
-
-    sv = q["out_wscale"][None, None, None, :3] * inv_s.reshape(b, 1, 1, 1)
-
-    def strip_out(h, pads):
-        hi = jnp.pad(h, ((0, 0), pads[0], pads[1], (0, 0)), mode="reflect")
-        y = _conv_i8(hi, q["out_kernel_i8"], 1, ((0, 0), (0, 0)))[..., :3]
-        yf = jnp.tanh(y.astype(jnp.float32) * sv + q["out_bias"][:3])
-        return jnp.clip(jnp.round((yf + 1.0) * 127.5), 0, 255).astype(jnp.uint8)
-
-    top8 = unph(grid[:, 0:2])          # rows 0..7
-    bot8 = unph(grid[:, 62:64])        # rows 248..255
-    left8 = unph(grid[:, :, 0:2])      # cols 0..7
-    right8 = unph(grid[:, :, 62:64])   # cols 248..255
-    # rows 0..2 need input rows -3..5; reflect supplies the negatives
-    top = strip_out(top8[:, 0:6], ((3, 0), (3, 3)))
-    bot = strip_out(bot8[:, 2:8], ((0, 3), (3, 3)))
-    left = strip_out(left8[:, :, 0:6], ((3, 3), (3, 0)))
-    right = strip_out(right8[:, :, 2:8], ((3, 3), (0, 3)))
-
-    img_u8 = jax.lax.dynamic_update_slice(img_u8, top, (0, 0, 0, 0))
-    img_u8 = jax.lax.dynamic_update_slice(img_u8, bot, (0, 253, 0, 0))
-    img_u8 = jax.lax.dynamic_update_slice(img_u8, left, (0, 0, 0, 0))
-    return jax.lax.dynamic_update_slice(img_u8, right, (0, 0, 253, 0))

@@ -157,15 +157,48 @@ def _kernel_up1_s2d16(eps, guard, x_ref, w_ref, o_ref, os_ref, acc):
     o_ref[0, pl.ds(0, guard), :] = jnp.zeros((guard, 1024), jnp.int8)
     o_ref[0, pl.ds(guard + SROWS, guard), :] = jnp.zeros((guard, 1024), jnp.int8)
 
+    # Reflect guard fill (see the lane-perm block comment below): row
+    # guards first, then a 66-iteration loop writing ONLY the 132 halo
+    # rows (cell cols 64/71 of cell rows -1..64 — a full-slab masked pass
+    # measured +9 ms at B=256), then the corner row (-2, 71) read by
+    # output cell (0,0)'s (dI=-1, dJ=-1) tap.
+    o_ref[0, pl.ds(guard - WP, WP), :] = _py_top(o_ref[0, pl.ds(guard, WP), :])
+    o_ref[0, pl.ds(guard + SROWS, WP), :] = _py_bot(
+        o_ref[0, pl.ds(guard + SROWS - WP, WP), :])
+
+    # Mosaic requires 8-aligned dynamic row indices; WP and g are multiples
+    # of 8, so each cell row's halo block [base+64, base+72) is aligned and
+    # its two live rows (64: <- col 63, the block-above's last sublane;
+    # 71: <- next cell row's col 0, the block-below's first sublane) are
+    # reached with aligned 8-row loads + a one-sublane roll.
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+
+    def _halo(ci, carry):
+        base = guard - WP + ci * WP
+        a = o_ref[0, pl.ds(base + 56, 8), :]
+        c = o_ref[0, pl.ds(base + WP, 8), :]
+        a_roll = jnp.concatenate([a[7:8], a[:7]], axis=0)
+        c_roll = jnp.concatenate([c[1:], c[:1]], axis=0)
+        o_ref[0, pl.ds(base + 64, 8), :] = jnp.where(
+            sub == 0, _px_r(a_roll),
+            jnp.where(sub == 7, _px_l(c_roll), jnp.int8(0)))
+        return carry
+
+    jax.lax.fori_loop(0, 66, _halo, 0)
+    d = o_ref[0, pl.ds(guard - WP, 8), :]
+    d_roll = jnp.concatenate([d[1:], d[:1]], axis=0)
+    o_ref[0, pl.ds(guard - WP - 8, 8), :] = jnp.where(
+        sub == 7, _px_l(d_roll), jnp.int8(0))
+
 
 def up1_s2d16(x_q: jax.Array, w_packed: jax.Array, eps: float = _EPS):
-    """up0's guarded s2d-4 slab [B, g+4608+g, 512] -> (zero-guarded s2d-16
-    slab [B, g+4608+g, 1024] int8, inv_scale [B,1,1]).
+    """up0's guarded s2d-4 slab [B, g+4608+g, 512] -> (REFLECT-guarded
+    s2d-16 slab [B, g+4608+g, 1024] int8, inv_scale [B,1,1]).
 
-    The guards stay ZERO: the final conv7 kernel computes with zero-pad
-    semantics and :func:`final_border_fix` repairs the 3-pixel reflect
-    border afterwards (a 600 MB in-slab reflect halo measured 14.5 ms of
-    XLA copies at B=128 — the border strips are ~5% of the pixels).
+    The kernel fills the slab's guard rows/cols with lane-permuted copies
+    of the interior (ReflectionPad2d(3) semantics, in VMEM where it is
+    ~free), so the downstream final7 kernel's plain 9-tap conv IS the
+    reflect-pad conv — no border repair pass.
     """
     g = guard_rows(64)
     bsz, xrows, cin = x_q.shape
@@ -198,14 +231,97 @@ def up1_s2d16(x_q: jax.Array, w_packed: jax.Array, eps: float = _EPS):
 
 
 # ------------------------------------------------------ reflect guard fill
+#
+# Reflected 256-map values are interior s2d cells with a LANE PERMUTATION:
+# pixel row -k reflects to row k, so guard cell row -1's py blocks are
+# [dc, py3, py2, py1] of cell row 0 (py0 = pixel row -4 is never read:
+# pack_final_s2d16's |u|<=3 bound zeroes those weight taps). Columns are
+# the same within 256-lane py blocks at 64-lane granularity, with the
+# flattened-slab halo convention that (r, 71) holds the LEFT halo of cell
+# row r+1 (the dJ=-1 tap from col 0 reads the previous slab row).
+#
+# Two XLA formulations were tried first and lost (28.7 / 14.5 ms at B=128:
+# every functional update re-copies the ~600 MB slab); the shipping fill
+# runs INSIDE the up1 kernel where the slab is already resident in VMEM —
+# a row-guard write, one masked select pass for the cols, and a corner row.
 
 
-# (Round-3 dead end, recorded: materializing a reflect halo INTO the slab
-# was tried two ways — chained .at[].set guard updates (28.7 ms at B=128)
-# and a single concat rebuild (14.5 ms): both re-copy the ~600 MB slab
-# through XLA for a 3-pixel border. The shipping design instead computes
-# the final conv with zero-pad semantics and repairs the border strips in
-# XLA — msig_tpu/infer/quantized.py::_border_fix.)
+def _py_top(x):
+    """Lane perm: cell row -1 <- cell row 0 ([dc, py3, py2, py1])."""
+    z = jnp.zeros_like(x[:, 0:256])
+    return jnp.concatenate(
+        [z, x[:, 768:1024], x[:, 512:768], x[:, 256:512]], axis=1)
+
+
+def _py_bot(x):
+    """Lane perm: cell row 64 <- cell row 63 ([py2, py1, py0, dc])."""
+    z = jnp.zeros_like(x[:, 0:256])
+    return jnp.concatenate(
+        [x[:, 512:768], x[:, 256:512], x[:, 0:256], z], axis=1)
+
+
+def _roll_m128(x):
+    """out[l] = x[l+128] (mod 1024) — a 128-aligned two-piece concat, which
+    both Mosaic and XLA lower natively (Mosaic rejects 64-lane concats)."""
+    return jnp.concatenate([x[:, 128:], x[:, :128]], axis=1)
+
+
+def _roll_p128(x):
+    """out[l] = x[l-128] (mod 1024)."""
+    return jnp.concatenate([x[:, 896:], x[:, :896]], axis=1)
+
+
+def _px_quarter(x):
+    """Lane index -> px quarter within the 256-lane py block (0..3)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jax.lax.rem(lane, 256) // 64
+
+
+def _px_r(x):
+    """Lane perm per py block: cell col 64 <- col 63 ([px2, px1, px0, dc]).
+
+    dst px0 <- src px2 is +128 lanes within the block (never wraps for the
+    quarters that use it), so the perm is two rolls + 64-lane-masked selects.
+    """
+    q = _px_quarter(x)
+    return jnp.where(q == 0, _roll_m128(x),
+                     jnp.where(q == 1, x,
+                               jnp.where(q == 2, _roll_p128(x),
+                                         jnp.zeros_like(x))))
+
+
+def _px_l(x):
+    """Lane perm per py block: cell col -1 <- col 0 ([dc, px3, px2, px1])."""
+    q = _px_quarter(x)
+    return jnp.where(q == 1, _roll_m128(x),
+                     jnp.where(q == 2, x,
+                               jnp.where(q == 3, _roll_p128(x),
+                                         jnp.zeros_like(x))))
+
+
+def reflect_guard_ref(slab: jax.Array) -> jax.Array:
+    """Pure-JAX reference of the in-kernel guard fill (tests / CPU path).
+
+    Takes a zero-guarded s2d-16 slab [B, g+4608+g, 1024] and returns it
+    with the reflect guards filled exactly as _kernel_up1_s2d16 does.
+    """
+    g = guard_rows(64)
+    b, xrows, _ = slab.shape
+
+    def one(s):
+        s = s.at[g - WP:g].set(_py_top(s[g:g + WP]))
+        s = s.at[g + SROWS:g + SROWS + WP].set(
+            _py_bot(s[g + SROWS - WP:g + SROWS]))
+        p0, pn = 32, xrows - 64
+        rr = (jnp.arange(pn) + p0 - g + 2 * WP * g) % WP
+        ext = s[p0:p0 + pn]
+        out = jnp.where((rr == 64)[:, None], _px_r(s[p0 - 1:p0 - 1 + pn]),
+                        jnp.where((rr == 71)[:, None],
+                                  _px_l(s[p0 + 1:p0 + 1 + pn]), ext))
+        s = s.at[p0:p0 + pn].set(out)
+        return s.at[g - WP - 1].set(_px_l(s[g - WP:g - WP + 1])[0])
+
+    return jax.vmap(one)(slab)
 
 
 # --------------------------------------------------------- final conv7 site

@@ -56,6 +56,11 @@ def test_up1_s2d16_matches_round2_composition():
     assert diff.max() <= 1, f"max int8 step diff {diff.max()}"
     assert (diff > 0).mean() < 0.01
 
+    # The kernel's in-VMEM reflect guard fill must agree with the pure-JAX
+    # reference fill (idempotence: re-filling changes nothing).
+    np.testing.assert_array_equal(np.asarray(fd.reflect_guard_ref(y1n)),
+                                  np.asarray(y1n))
+
 
 def _slab_from_map(x):
     """[B,256,256,C] int8 -> zero-guarded s2d-16 slab [B, g+4608+g, 16*C]."""
@@ -68,10 +73,9 @@ def _slab_from_map(x):
     return jnp.pad(v, ((0, 0), (g, g), (0, 0)))
 
 
-def test_final7_plus_border_fix_matches_xla_reference():
-    """final7 kernel (zero-pad) + _border_fix == reflect-pad XLA reference."""
-    from msig_tpu.infer.quantized import _border_fix
-
+def test_reflect_guards_plus_final7_match_xla_reference():
+    """reflect_guard_ref-filled slab + final7 == reflect-pad XLA reference,
+    exactly, INCLUDING the 3-pixel border (no repair pass)."""
     rng = np.random.default_rng(1)
     x = rng.integers(-127, 128, (B, 256, 256, 64), dtype=np.int8)
     w = rng.integers(-127, 128, (7, 7, 64, 3), dtype=np.int8)
@@ -79,14 +83,10 @@ def test_final7_plus_border_fix_matches_xla_reference():
     bias = rng.uniform(-0.3, 0.3, 3).astype(np.float32)
     inv_s = rng.uniform(0.005, 0.05, (B, 1, 1)).astype(np.float32)
 
-    slab = _slab_from_map(jnp.asarray(x))
+    slab = fd.reflect_guard_ref(_slab_from_map(jnp.asarray(x)))
     u8 = fd.final7_tanh_u8(slab, fd.pack_final_s2d16(w), jnp.asarray(ws),
                            jnp.asarray(bias), jnp.asarray(inv_s))
-    q = {"out_kernel_i8": jnp.pad(jnp.asarray(w), ((0, 0), (0, 0), (0, 0), (0, 5))),
-         "out_wscale": jnp.pad(jnp.asarray(ws), (0, 5), constant_values=1.0),
-         "out_bias": jnp.pad(jnp.asarray(bias), (0, 5))}
-    got = np.asarray(_border_fix(fd.unphase_s2d16_u8(u8), slab, q,
-                                 jnp.asarray(inv_s)))
+    got = np.asarray(fd.unphase_s2d16_u8(u8))
 
     hi = jnp.pad(jnp.asarray(x), ((0, 0), (3, 3), (3, 3), (0, 0)),
                  mode="reflect")

@@ -93,15 +93,11 @@ def main():
     # New fully-fused decoder tail (ops/fused_dec_int8.py)
     from msig_tpu.ops import fused_dec_int8 as fd
 
-    from msig_tpu.infer.quantized import _border_fix
-
     up0g_j = jax.jit(lambda hr: f2.convt4x4s2_in_relu_requant_ps(
         hr, q["up0_ps"], f2.PS_TAPS, 64, guarded_out=True))
     up1s_j = jax.jit(lambda y0g: fd.up1_s2d16(y0g, q["up1_s16"]))
-    fin_j = jax.jit(lambda yr, s: _border_fix(
-        fd.unphase_s2d16_u8(fd.final7_tanh_u8(
-            yr, q["final_s16"], q["out_wscale"], q["out_bias"], s)),
-        yr, q, s))
+    fin_j = jax.jit(lambda yr, s: fd.unphase_s2d16_u8(fd.final7_tanh_u8(
+        yr, q["final_s16"], q["out_wscale"], q["out_bias"], s)))
 
     def final(y1, inv_s):
         h64 = f2.unphase_s2d(y1, 128, 64)
