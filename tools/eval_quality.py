@@ -53,6 +53,7 @@ def main():
     from msig_tpu.data import list_image_files
     from msig_tpu.data.pipeline import load_inference_image
     from msig_tpu.eval.fid import fid_between_dirs
+    from msig_tpu.eval.pixel_stats import pixel_metrics_between_dirs
     from msig_tpu.infer.engine import InferenceEngine
     from msig_tpu.infer.loading import load_inference_params
 
@@ -103,10 +104,24 @@ def main():
 
         fid_gen = fid_between_dirs(out_dir, ref_d, image_size=256)
         fid_src = fid_between_dirs(args.source_dir, ref_d, image_size=256)
-        report[name] = {"proxy_fid_generated_vs_ref": round(float(fid_gen), 6),
-                        "proxy_fid_source_vs_ref": round(float(fid_src), 6)}
+        # Weights-free second opinion (msig_tpu/eval/pixel_stats.py): the
+        # proxy-FID above scores with RANDOM VGG features; these two use no
+        # learned features at all, so an improvement confirmed by both is
+        # not an artifact of the random extractor.
+        cf_gen, tv_gen = pixel_metrics_between_dirs(out_dir, ref_d, 256)
+        cf_src, tv_src = pixel_metrics_between_dirs(args.source_dir, ref_d, 256)
+        report[name] = {
+            "proxy_fid_generated_vs_ref": round(float(fid_gen), 6),
+            "proxy_fid_source_vs_ref": round(float(fid_src), 6),
+            "color_frechet_generated_vs_ref": round(float(cf_gen), 6),
+            "color_frechet_source_vs_ref": round(float(cf_src), 6),
+            "hist_tv_generated_vs_ref": round(float(tv_gen), 4),
+            "hist_tv_source_vs_ref": round(float(tv_src), 4),
+        }
         print(f"{name}: proxy-FID gen vs ref = {fid_gen:.6f}  "
               f"(source vs ref baseline = {fid_src:.6f})", flush=True)
+        print(f"{name}: color-Frechet gen {cf_gen:.5f} vs src {cf_src:.5f}; "
+              f"hist-TV gen {tv_gen:.4f} vs src {tv_src:.4f}", flush=True)
 
         # sample strip: source | generated for a few images
         strip = []
