@@ -173,7 +173,7 @@ def _kernel_up1_s2d16(eps, guard, x_ref, w_ref, o_ref, os_ref, acc):
     # reached with aligned 8-row loads + a one-sublane roll.
     sub = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
 
-    def _halo(ci, carry):
+    for ci in range(66):  # unrolled: static aligned indices schedule freely
         base = guard - WP + ci * WP
         a = o_ref[0, pl.ds(base + 56, 8), :]
         c = o_ref[0, pl.ds(base + WP, 8), :]
@@ -182,9 +182,6 @@ def _kernel_up1_s2d16(eps, guard, x_ref, w_ref, o_ref, os_ref, acc):
         o_ref[0, pl.ds(base + 64, 8), :] = jnp.where(
             sub == 0, _px_r(a_roll),
             jnp.where(sub == 7, _px_l(c_roll), jnp.int8(0)))
-        return carry
-
-    jax.lax.fori_loop(0, 66, _halo, 0)
     d = o_ref[0, pl.ds(guard - WP, 8), :]
     d_roll = jnp.concatenate([d[1:], d[:1]], axis=0)
     o_ref[0, pl.ds(guard - WP - 8, 8), :] = jnp.where(
@@ -361,9 +358,9 @@ def pack_final_s2d16(w_hwio, cch: int = 64) -> jax.Array:
 def _kernel_final7(guard, x_ref, w_ref, sv_ref, bias_ref, is_ref, o_ref):
     """9-tap conv7 on the s2d-16 slab + dequant + tanh + uint8, one sample.
 
-    Mosaic cannot cast float->uint8, so the store is int8 holding
-    ``uint8_value - 128``; :func:`unphase_s2d16_u8` re-centers on the tiny
-    [B, 4608, 48] result.
+    Mosaic cannot cast float->uint8, so the store is int8 holding the
+    uint8 value's BITS (v-256 for v>127); :func:`unphase_s2d16_u8` then
+    recovers uint8 with a free bitcast instead of an add pass.
     """
     valid = _valid_mask(CHUNK, WP, 64)
     offs = [dI * WP + dJ for dI in (-1, 0, 1) for dJ in (-1, 0, 1)]
@@ -381,8 +378,8 @@ def _kernel_final7(guard, x_ref, w_ref, sv_ref, bias_ref, is_ref, o_ref):
             )
             yc = d if yc is None else yc + d
         yf = jnp.tanh(yc.astype(jnp.float32) * sv + bias)
-        u8c = jnp.clip(jnp.round((yf + 1.0) * 127.5) - 128.0, -128.0, 127.0)
-        q = u8c.astype(jnp.int8)
+        v = jnp.clip(jnp.round((yf + 1.0) * 127.5), 0.0, 255.0)
+        q = jnp.where(v > 127.0, v - 256.0, v).astype(jnp.int8)
         o_ref[0, pl.ds(c * CHUNK, CHUNK), :] = jnp.where(
             valid, q, jnp.int8(0))
 
@@ -425,9 +422,9 @@ def final7_tanh_u8(x_q: jax.Array, w_packed: jax.Array, wscale: jax.Array,
 
 
 def unphase_s2d16_u8(y: jax.Array) -> jax.Array:
-    """[B, 4608, 48] int8 (uint8-128) s2d-16 -> [B, 256, 256, 3] uint8."""
+    """[B, 4608, 48] int8 (uint8 bits) s2d-16 -> [B, 256, 256, 3] uint8."""
     b = y.shape[0]
-    v = (y.astype(jnp.int16) + 128).astype(jnp.uint8)
+    v = jax.lax.bitcast_convert_type(y, jnp.uint8)
     v = v.reshape(b, 64, WP, 4, 4, 3)[:, :, :64]
     v = v.transpose(0, 1, 3, 2, 4, 5)
     return v.reshape(b, 256, 256, 3)

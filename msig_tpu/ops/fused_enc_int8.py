@@ -58,7 +58,9 @@ N_CHUNKS = 4
 
 # enc0 input geometry: 66x66 grid (reflect-padded image), col-padded to 72
 IN0_ROWS = 66 * WP          # 4752
-IN0_SLAB = IN0_ROWS + 32    # slack so the last chunk's +146 offset stays in bounds
+IN0_SLAB = 67 * WP          # one whole slack cell row: the last chunk's +146
+                            # tap offset stays in bounds, and prep emits the
+                            # slab with a SINGLE pad (rows+cols in one copy)
 
 
 def prep_s2d4_input(img_u8: jax.Array) -> jax.Array:
@@ -70,13 +72,14 @@ def prep_s2d4_input(img_u8: jax.Array) -> jax.Array:
     zero weights), and space-to-depths by 4 onto the 66x66 grid.
     """
     b = img_u8.shape[0]
-    x = (img_u8.astype(jnp.int32) - 128).astype(jnp.int8)
+    # x - 128 == x XOR 0x80 reinterpreted as int8: one bitwise pass instead
+    # of a widen-subtract-narrow chain.
+    x = jax.lax.bitcast_convert_type(img_u8 ^ jnp.uint8(128), jnp.int8)
     x = jnp.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)), mode="reflect")
     x = x.reshape(b, 66, 4, 66, 4, 3).transpose(0, 1, 3, 2, 4, 5)
     x = x.reshape(b, 66, 66, 48)
-    x = jnp.pad(x, ((0, 0), (0, 0), (0, WP - 66), (0, 0)))
-    x = x.reshape(b, IN0_ROWS, 48)
-    return jnp.pad(x, ((0, 0), (0, IN0_SLAB - IN0_ROWS), (0, 0)))
+    x = jnp.pad(x, ((0, 0), (0, 1), (0, WP - 66), (0, 0)))
+    return x.reshape(b, IN0_SLAB, 48)
 
 
 def _lane_b_major(qy: int, qx: int, c: int, cch: int = 64) -> int:

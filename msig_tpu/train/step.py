@@ -51,7 +51,7 @@ def make_train_step(
     ema_beta: float,
     compute_dtype=jnp.float32,
     r1_gamma: float = 0.0,
-    remat: bool = False,
+    remat: bool | str = False,
     style_recon_weight: float = 0.0,
     diversity_weight: float = 0.0,
     batch_forwards: bool | None = None,
@@ -69,6 +69,9 @@ def make_train_step(
     (rematerialization): the G phase holds 5 generator activations at once
     (identity, two fakes, two cycles), which at 512x512 exceeds single-chip
     HBM — remat trades ~1/3 more FLOPs for activation memory.
+    ``remat="cycle"`` rematerializes ONLY the cycle forwards (the
+    activations with the longest liveness — they span the whole G phase),
+    a cheaper memory/FLOPs trade for mid-size batches.
 
     ``style_recon_weight > 0`` adds a style-reconstruction loss (EXTENSION,
     StarGAN-v2-style): ``L1(SE_B(fake_B, y_trg), style_B)`` + the symmetric
@@ -85,7 +88,9 @@ def make_train_step(
     se = models.style_encoder
     disc = models.discriminator
 
-    gen_apply = jax.checkpoint(gen.apply) if remat else gen.apply
+    gen_apply = jax.checkpoint(gen.apply) if remat is True else gen.apply
+    # "cycle" (or True) remats the cycle forwards; False remats nothing.
+    gen_apply_cyc = jax.checkpoint(gen.apply) if remat else gen.apply
 
     def train_step(
         state: TrainState,
@@ -130,7 +135,7 @@ def make_train_step(
                 )
                 id_B, fake_B = jnp.split(id_fk, 2, axis=0)
                 # G_B2A over (real_B -> fake_A, fake_B -> cyc_A), one launch
-                fk_cy = gen_apply(
+                fk_cy = gen_apply_cyc(
                     gen_params["G_B2A"],
                     jnp.concatenate([real_B, fake_B], axis=0),
                     jnp.concatenate([style_A, style_A], axis=0),
@@ -140,9 +145,9 @@ def make_train_step(
                 id_B = gen_apply(gen_params["G_A2B"], real_B, style_B)
                 fake_B = gen_apply(gen_params["G_A2B"], real_A, style_B)
                 fake_A = gen_apply(gen_params["G_B2A"], real_B, style_A)
-                cyc_A = gen_apply(gen_params["G_B2A"], fake_B, style_A)
+                cyc_A = gen_apply_cyc(gen_params["G_B2A"], fake_B, style_A)
             loss_identity = l1_loss(id_B, real_B)
-            cyc_B = gen_apply(gen_params["G_A2B"], fake_A, style_B)
+            cyc_B = gen_apply_cyc(gen_params["G_A2B"], fake_A, style_B)
 
             loss_gan_A2B = lsgan_real(disc.apply(disc_params["D_B"], fake_B, y_trg))
             loss_gan_B2A = lsgan_real(disc.apply(disc_params["D_A"], fake_A, y_org))

@@ -116,7 +116,7 @@ def site_shifted(x_q, w_packed, gamma, beta):
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(x_q, w_packed, gamma, beta)
+    )(x_q, w_packed, gamma[:, None, :], beta[:, None, :])
 
 
 def _sync(x):
@@ -145,8 +145,8 @@ def main():
     x = jax.device_put(x)
     w = jax.device_put(
         rng.integers(-127, 128, (9 * CIN, CIN), dtype=np.int8))
-    gamma = jax.device_put(rng.normal(1, 0.1, (B, 1, CIN)).astype(np.float32))
-    beta = jax.device_put(rng.normal(0, 0.1, (B, 1, CIN)).astype(np.float32))
+    gamma = jax.device_put(rng.normal(1, 0.1, (B, CIN)).astype(np.float32))
+    beta = jax.device_put(rng.normal(0, 0.1, (B, CIN)).astype(np.float32))
 
     base = jax.jit(lambda *a: f2.conv3x3_adain_relu_requant(*a))
     shif = jax.jit(site_shifted)
