@@ -305,7 +305,12 @@ def main():
     ap.add_argument("--mode", choices=["inference", "train", "data", "e2e"],
                     default="inference")
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--image_size", type=int, default=256,
+                    help="map size for inference/train modes (512 = BASELINE "
+                         "config 5; smaller batches are auto-selected)")
+    ap.add_argument("--train_batch", type=int, default=32)
     args = ap.parse_args()
+    size_tag = str(args.image_size)
 
     if args.mode == "e2e":
         rate, count = bench_e2e()
@@ -328,22 +333,26 @@ def main():
         return
 
     if args.mode == "train":
-        ms = bench_train(iters=args.iters)
+        ms = bench_train(batch=args.train_batch, iters=args.iters,
+                         image_size=args.image_size)
         print(json.dumps({
-            "metric": "train_step_ms_b32_256",
+            "metric": f"train_step_ms_b{args.train_batch}_{size_tag}",
             "value": round(ms, 2),
             "unit": "ms",
             "vs_baseline": None,
         }))
         return
 
-    rate, bs = bench_inference(iters=args.iters)
+    batch_sizes = (128, 256) if args.image_size <= 256 else (16, 32)
+    rate, bs = bench_inference(batch_sizes=batch_sizes, iters=args.iters,
+                               image_size=args.image_size)
     print(f"  best: batch {bs}", file=sys.stderr)
     print(json.dumps({
-        "metric": "img_per_s_256_ref_guided_inference",
+        "metric": f"img_per_s_{size_tag}_ref_guided_inference",
         "value": round(rate, 1),
         "unit": "img/s/chip",
-        "vs_baseline": round(rate / 2000.0, 3),
+        "vs_baseline": round(rate / 2000.0, 3) if args.image_size == 256
+        else None,
     }))
 
 

@@ -205,23 +205,26 @@ def _fused_encoder(q, img_u8):
     """uint8 image -> (trunk-ready int8 slab, residual scale [B,1]).
 
     Entire encoder as three Pallas kernels on the shared 64-grid layout
-    (ops/fused_enc_int8.py) — no XLA convs, int8-only HBM traffic.
+    (ops/fused_enc_int8.py) — no XLA convs, int8-only HBM traffic. At
+    512^2 the same kernels run on the 128-grid (enc0 HBM-staged).
     """
     from msig_tpu.ops import fused_enc_int8 as fe
 
+    w_cells = img_u8.shape[1] // 4
     slab = fe.prep_s2d4_input(img_u8)
-    h0 = fe.enc0_in_relu_requant(slab, q["enc0_p"])
-    h1 = fe.enc1_in_relu_requant(h0, q["enc1_p"])
-    hq, inv_s = fe.enc2_in_relu_requant(h1, q["enc2_p"])
+    h0 = fe.enc0_in_relu_requant(slab, q["enc0_p"], w_cells=w_cells)
+    h1 = fe.enc1_in_relu_requant(h0, q["enc1_p"], w_cells=w_cells)
+    hq, inv_s = fe.enc2_in_relu_requant(h1, q["enc2_p"], w_cells=w_cells)
     return hq, inv_s.reshape(img_u8.shape[0], 1)
 
 
-def _fused_decoder(q, hq_rows, out_dtype):
+def _fused_decoder(q, hq_rows, out_dtype, w_cells: int = 64):
     """dec_up0 -> dec_up1 -> final conv, all int8, all fused Pallas sites.
 
     uint8 output (the serving path): up0 emits a guard-padded s2d slab, up1
-    consumes it DIRECTLY on the 64-grid (ops/fused_dec_int8.up1_s2d16 — no
-    XLA un-phase between the sites), a cheap reflect guard fill replaces
+    consumes it DIRECTLY on the cell grid (ops/fused_dec_int8 — no XLA
+    un-phase between the sites; HBM-staged at the 128-grid where the int32
+    slab exceeds VMEM), a cheap reflect guard fill replaces
     ReflectionPad2d, and one final kernel fuses conv7 + dequant + tanh +
     the uint8 serving conversion. Float output falls back to the round-2
     structure (phase-split up sites + XLA final conv).
@@ -232,19 +235,24 @@ def _fused_decoder(q, hq_rows, out_dtype):
         from msig_tpu.ops import fused_dec_int8 as fd
 
         y0, _ = fc.convt4x4s2_in_relu_requant_ps(
-            hq_rows, q["up0_ps"], fc.PS_TAPS, 64, guarded_out=True)
-        y1, inv_s = fd.up1_s2d16(y0, q["up1_s16"])
+            hq_rows, q["up0_ps"], fc.PS_TAPS, w_cells, guarded_out=True)
+        if w_cells > 64:
+            y1, inv_s = fd.up1_s2d16_hbm(y0, q["up1_s16"], w_cells=w_cells)
+        else:
+            y1, inv_s = fd.up1_s2d16(y0, q["up1_s16"])
         u8 = fd.final7_tanh_u8(y1, q["final_s16"], q["out_wscale"],
-                               q["out_bias"], inv_s)
-        return fd.unphase_s2d16_u8(u8)
+                               q["out_bias"], inv_s, w_cells=w_cells)
+        return fd.unphase_s2d16_u8(u8, w_cells=w_cells)
 
     b = hq_rows.shape[0]
     c1 = q["dec_up1"].shape[2]   # 128
     c2 = q["dec_up1"].shape[3]   # 64
-    y0, _ = fc.convt4x4s2_in_relu_requant_ps(hq_rows, q["up0_ps"], fc.PS_TAPS, 64)
-    y0 = fc.to_padded_rows(fc.unphase_s2d(y0, 64, c1))
-    y1, inv_s = fc.convt4x4s2_in_relu_requant_ps(y0, q["up1_ps"], fc.PS_TAPS, 128)
-    h64 = fc.unphase_s2d(y1, 128, c2)
+    y0, _ = fc.convt4x4s2_in_relu_requant_ps(
+        hq_rows, q["up0_ps"], fc.PS_TAPS, w_cells)
+    y0 = fc.to_padded_rows(fc.unphase_s2d(y0, w_cells, c1))
+    y1, inv_s = fc.convt4x4s2_in_relu_requant_ps(
+        y0, q["up1_ps"], fc.PS_TAPS, 2 * w_cells)
+    h64 = fc.unphase_s2d(y1, 2 * w_cells, c2)
     hi = jnp.pad(h64, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
     y = _conv_i8(hi, q["out_kernel_i8"], 1, ((0, 0), (0, 0)))[..., :3]
     yf = y.astype(jnp.float32) * (
@@ -272,11 +280,20 @@ def quantized_generator_apply(
         # would run in the interpreter, so default off there.
         fused_trunk = jax.default_backend() in ("tpu", "axon")
 
-    if fused_trunk and img_u8.shape[1:] == (256, 256, 3) and "enc0_p" in q:
-        # All-Pallas path: fused encoder -> fused trunk -> fused decoder.
+    all_pallas = fused_trunk and "enc0_p" in q and (
+        img_u8.shape[1:] == (256, 256, 3)
+        # 512^2 only on the uint8 serving path: the float fallback decoder
+        # would need a w_img=256 ConvT whose scratch slab exceeds VMEM.
+        or (img_u8.shape[1:] == (512, 512, 3) and out_dtype == jnp.uint8
+            and "up1_s16" in q))
+    if all_pallas:
+        # All-Pallas path: fused encoder -> fused trunk -> fused decoder
+        # (64-grid at 256^2, 128-grid at 512^2 with HBM-staged enc0/up1).
+        w_cells = img_u8.shape[1] // 4
         hq_rows, hs = _fused_encoder(q, img_u8)
-        hq_rows = _fused_trunk_rows(q, hq_rows, hs, style, n_res)
-        return _fused_decoder(q, hq_rows, out_dtype)
+        hq_rows = _fused_trunk_rows(q, hq_rows, hs, style, n_res,
+                                    w_img=w_cells)
+        return _fused_decoder(q, hq_rows, out_dtype, w_cells=w_cells)
 
     # Raw uint8 -> int8 by recentering; the affine (x/127.5 - 1) is absorbed.
     x = (img_u8.astype(jnp.int32) - 128).astype(jnp.int8)
@@ -295,11 +312,23 @@ def quantized_generator_apply(
         hq_rows = _fused_trunk(q, h, style, n_res)
         return _fused_decoder(q, hq_rows, out_dtype)
     if fused_trunk and hh == ww == 128 and cc % 128 == 0:
-        # 512^2 input: fused trunk on 128x128 maps; decoder stays XLA (the
-        # up1 site's int32 acc slab at 256x264 rows would exceed VMEM).
+        # 512^2 input: fused trunk on 128x128 maps, then the fused decoder
+        # on the 128-cell grid for the uint8 serving path — up1 runs as the
+        # HBM-staged kernel pair (the int32 acc slab at 17408x1024 rows
+        # exceeds VMEM; ops/fused_dec_int8.up1_s2d16_hbm). Float output
+        # keeps the XLA decoder.
         from msig_tpu.ops import fused_conv_int8_v2 as _f2
 
         hq_rows = _fused_trunk(q, h, style, n_res)
+        if out_dtype == jnp.uint8 and "up1_s16" in q:
+            from msig_tpu.ops import fused_dec_int8 as _fd
+
+            y0, _ = _f2.convt4x4s2_in_relu_requant_ps(
+                hq_rows, q["up0_ps"], _f2.PS_TAPS, 128, guarded_out=True)
+            y1, inv_s = _fd.up1_s2d16_hbm(y0, q["up1_s16"], w_cells=128)
+            u8 = _fd.final7_tanh_u8(y1, q["final_s16"], q["out_wscale"],
+                                    q["out_bias"], inv_s, w_cells=128)
+            return _fd.unphase_s2d16_u8(u8, w_cells=128)
         g = _f2.guard_rows(hh)
         wp = hh + 8
         body = hq_rows[:, g:g + hh * wp].reshape(bsz, hh, wp, cc)[:, :, :hh]

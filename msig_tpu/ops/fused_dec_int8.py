@@ -62,6 +62,86 @@ def _divmod2(t: int):
     return t // 2, t % 2  # Python floor-div handles t = -1 correctly
 
 
+def dec_geometry(w_cells: int):
+    """(wp, srows, chunk, n_chunks, guard) for a w_cells x w_cells s2d grid.
+
+    w_cells=64 is the 256-pixel map (4x4 phases per cell), w_cells=128 the
+    512-pixel map. Chunks shrink at 128 so the [chunk, 1024] int32 operand
+    stays VMEM-friendly in the HBM-staged kernels.
+    """
+    wp = w_cells + 8
+    srows = w_cells * wp
+    chunk_cells = 16 if w_cells <= 64 else 8
+    chunk = chunk_cells * wp
+    assert srows % chunk == 0
+    return wp, srows, chunk, srows // chunk, guard_rows(w_cells)
+
+
+def _up1_conv_chunk(x_ref, w_ref, start, chunk, wp):
+    """One chunk of the 16-phase ConvT: 64 [chunk,128]x[128,64] tap matmuls.
+
+    ``start`` must be a STATIC row offset (Mosaic wants aligned dynamic row
+    indices; the +-1 column taps make these inherently unaligned).
+    """
+    phases = []
+    blk = 0
+    for sy in range(4):
+        ry, qy = sy // 2, sy % 2
+        dys = (-1, 0) if qy == 0 else (0, 1)
+        for sx in range(4):
+            rx, qx = sx // 2, sx % 2
+            dxs = (-1, 0) if qx == 0 else (0, 1)
+            aq = None
+            for dy in dys:
+                dI, ry2 = _divmod2(ry + dy)
+                for dx in dxs:
+                    dJ, rx2 = _divmod2(rx + dx)
+                    r2 = 2 * ry2 + rx2
+                    lhs = x_ref[0, pl.ds(start + dI * wp + dJ, chunk),
+                                r2 * 128:(r2 + 1) * 128]
+                    d = jax.lax.dot_general(
+                        lhs, w_ref[blk * 128:(blk + 1) * 128, :],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    aq = d if aq is None else aq + d
+                    blk += 1
+            phases.append(aq)
+    return jnp.concatenate(phases, axis=1)
+
+
+def _reflect_fill(o_ref, guard, wp, w_cells, srows):
+    """In-VMEM ReflectionPad2d(3) guard fill on an s2d-16 slab (see the
+    lane-perm block comment below). Row guards first, then one halo write
+    per cell row (only rows with live halo data), then the corner row read
+    by output cell (0,0)'s (dI=-1, dJ=-1) tap."""
+    o_ref[0, pl.ds(guard - wp, wp), :] = _py_top(o_ref[0, pl.ds(guard, wp), :])
+    o_ref[0, pl.ds(guard + srows, wp), :] = _py_bot(
+        o_ref[0, pl.ds(guard + srows - wp, wp), :])
+
+    # Mosaic requires 8-aligned dynamic row indices; wp and guard are
+    # multiples of 8, so each cell row's halo block [base+w_cells, base+wp)
+    # is aligned and its two live rows (w_cells: <- col w_cells-1, the
+    # block-above's last sublane; wp-1: <- next cell row's col 0, the
+    # block-below's first sublane) are reached with aligned 8-row loads +
+    # a one-sublane roll.
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+
+    for ci in range(w_cells + 2):  # unrolled: static aligned indices
+        base = guard - wp + ci * wp
+        a = o_ref[0, pl.ds(base + w_cells - 8, 8), :]
+        c = o_ref[0, pl.ds(base + wp, 8), :]
+        a_roll = jnp.concatenate([a[7:8], a[:7]], axis=0)
+        c_roll = jnp.concatenate([c[1:], c[:1]], axis=0)
+        o_ref[0, pl.ds(base + w_cells, 8), :] = jnp.where(
+            sub == 0, _px_r(a_roll),
+            jnp.where(sub == 7, _px_l(c_roll), jnp.int8(0)))
+    d = o_ref[0, pl.ds(guard - wp, 8), :]
+    d_roll = jnp.concatenate([d[1:], d[:1]], axis=0)
+    o_ref[0, pl.ds(guard - wp - 8, 8), :] = jnp.where(
+        sub == 7, _px_l(d_roll), jnp.int8(0))
+
+
 # --------------------------------------------------------------- up1 on s2d
 
 
@@ -98,32 +178,7 @@ def _kernel_up1_s2d16(eps, guard, x_ref, w_ref, o_ref, os_ref, acc):
     cmin = jnp.zeros((1, 1024), jnp.float32)
     cmax = jnp.zeros((1, 1024), jnp.float32)
     for c in range(N_CHUNKS):
-        phases = []
-        blk = 0
-        for sy in range(4):
-            ry, qy = sy // 2, sy % 2
-            dys = (-1, 0) if qy == 0 else (0, 1)
-            for sx in range(4):
-                rx, qx = sx // 2, sx % 2
-                dxs = (-1, 0) if qx == 0 else (0, 1)
-                aq = None
-                for dy in dys:
-                    dI, ry2 = _divmod2(ry + dy)
-                    for dx in dxs:
-                        dJ, rx2 = _divmod2(rx + dx)
-                        r2 = 2 * ry2 + rx2
-                        lhs = x_ref[0,
-                                    pl.ds(guard + c * CHUNK + dI * WP + dJ, CHUNK),
-                                    r2 * 128:(r2 + 1) * 128]
-                        d = jax.lax.dot_general(
-                            lhs, w_ref[blk * 128:(blk + 1) * 128, :],
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.int32,
-                        )
-                        aq = d if aq is None else aq + d
-                        blk += 1
-                phases.append(aq)
-        yc = jnp.concatenate(phases, axis=1)
+        yc = _up1_conv_chunk(x_ref, w_ref, guard + c * CHUNK, CHUNK, WP)
         acc[pl.ds(c * CHUNK, CHUNK), :] = yc
         sums, sumsq, cmin, cmax = _stats_update_slim(
             yc, valid, sums, sumsq, cmin, cmax)
@@ -156,36 +211,9 @@ def _kernel_up1_s2d16(eps, guard, x_ref, w_ref, o_ref, os_ref, acc):
             valid, q, jnp.int8(0))
     o_ref[0, pl.ds(0, guard), :] = jnp.zeros((guard, 1024), jnp.int8)
     o_ref[0, pl.ds(guard + SROWS, guard), :] = jnp.zeros((guard, 1024), jnp.int8)
-
-    # Reflect guard fill (see the lane-perm block comment below): row
-    # guards first, then a 66-iteration loop writing ONLY the 132 halo
-    # rows (cell cols 64/71 of cell rows -1..64 — a full-slab masked pass
-    # measured +9 ms at B=256), then the corner row (-2, 71) read by
-    # output cell (0,0)'s (dI=-1, dJ=-1) tap.
-    o_ref[0, pl.ds(guard - WP, WP), :] = _py_top(o_ref[0, pl.ds(guard, WP), :])
-    o_ref[0, pl.ds(guard + SROWS, WP), :] = _py_bot(
-        o_ref[0, pl.ds(guard + SROWS - WP, WP), :])
-
-    # Mosaic requires 8-aligned dynamic row indices; WP and g are multiples
-    # of 8, so each cell row's halo block [base+64, base+72) is aligned and
-    # its two live rows (64: <- col 63, the block-above's last sublane;
-    # 71: <- next cell row's col 0, the block-below's first sublane) are
-    # reached with aligned 8-row loads + a one-sublane roll.
-    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-
-    for ci in range(66):  # unrolled: static aligned indices schedule freely
-        base = guard - WP + ci * WP
-        a = o_ref[0, pl.ds(base + 56, 8), :]
-        c = o_ref[0, pl.ds(base + WP, 8), :]
-        a_roll = jnp.concatenate([a[7:8], a[:7]], axis=0)
-        c_roll = jnp.concatenate([c[1:], c[:1]], axis=0)
-        o_ref[0, pl.ds(base + 64, 8), :] = jnp.where(
-            sub == 0, _px_r(a_roll),
-            jnp.where(sub == 7, _px_l(c_roll), jnp.int8(0)))
-    d = o_ref[0, pl.ds(guard - WP, 8), :]
-    d_roll = jnp.concatenate([d[1:], d[:1]], axis=0)
-    o_ref[0, pl.ds(guard - WP - 8, 8), :] = jnp.where(
-        sub == 7, _px_l(d_roll), jnp.int8(0))
+    # A full-slab masked halo pass measured +9 ms at B=256; the per-cell-row
+    # fill in _reflect_fill touches only the live halo rows.
+    _reflect_fill(o_ref, guard, WP, 64, SROWS)
 
 
 def up1_s2d16(x_q: jax.Array, w_packed: jax.Array, eps: float = _EPS):
@@ -225,6 +253,173 @@ def up1_s2d16(x_q: jax.Array, w_packed: jax.Array, eps: float = _EPS):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(x_q, w_packed)
+
+
+# ----------------------------------------- up1 at 512^2: HBM-staged variant
+#
+# At the 128-cell grid (512^2 output) the single-kernel design's int32
+# accumulator slab is 17408 x 1024 x 4 B = 71 MB — with the 9 MB input and
+# 18 MB output slabs it cannot stay VMEM-resident. The site splits into two
+# kernels staging the int32 accumulator through HBM (142 MB/sample of
+# extra HBM traffic ~= 0.2 ms at v5e bandwidth, negligible vs the conv):
+#
+#   A: conv chunks + IN stats. Double-buffered async copies drain each
+#      [chunk, 1024] int32 block to HBM while the next chunk's matmuls run.
+#   XLA: fold the [B, 4, 1024] stats to the requant affine (a2, d2) and the
+#      absorbed inv-scale — same math as the in-kernel epilogue.
+#   B: stream the int32 blocks back (prefetch depth 2), requant to int8,
+#      zero the guards and run the reflect fill on the resident output slab.
+
+
+def _kernel_up1_conv_hbm(guard, wp, w_cells, chunk, n_chunks,
+                         x_ref, w_ref, acc_hbm, st_ref, buf, sems):
+    i = pl.program_id(0)
+    valid = _valid_mask(chunk, wp, w_cells)
+    sums = jnp.zeros((1, 1024), jnp.float32)
+    sumsq = jnp.zeros((1, 1024), jnp.float32)
+    cmin = jnp.zeros((1, 1024), jnp.float32)
+    cmax = jnp.zeros((1, 1024), jnp.float32)
+    pending = [None, None]
+    for c in range(n_chunks):
+        slot = c % 2
+        if pending[slot] is not None:
+            pending[slot].wait()
+        yc = _up1_conv_chunk(x_ref, w_ref, guard + c * chunk, chunk, wp)
+        buf[slot] = yc
+        dma = pltpu.make_async_copy(
+            buf.at[slot],
+            acc_hbm.at[i, pl.ds(c * chunk, chunk), :],
+            sems.at[slot])
+        dma.start()
+        pending[slot] = dma
+        sums, sumsq, cmin, cmax = _stats_update_slim(
+            yc, valid, sums, sumsq, cmin, cmax)
+    for dma in pending:
+        dma.wait()
+    st_ref[0, 0:1, :] = sums
+    st_ref[0, 1:2, :] = sumsq
+    st_ref[0, 2:3, :] = cmin
+    st_ref[0, 3:4, :] = cmax
+
+
+def _up1_scales(stats: jax.Array, n: float, eps: float):
+    """[B, 4, 1024] (sums, sumsq, cmin, cmax) -> ([B, 2, 1024] (a2, d2),
+    inv_scale [B, 1, 1]) — the XLA replica of the in-kernel IN fold16 +
+    exact-amax requant epilogue."""
+    sums, sumsq, cmin, cmax = (stats[:, k] for k in range(4))
+    b = stats.shape[0]
+
+    def _fold(v):
+        return v.reshape(b, 16, 64).sum(axis=1)
+
+    mean_c = _fold(sums) / n
+    sq_c = _fold(sumsq) / n
+    var_c = jnp.maximum(sq_c - mean_c * mean_c, 0.0)
+    a_c = jax.lax.rsqrt(var_c + eps)
+    d_c = -mean_c * a_c
+    a = jnp.tile(a_c, (1, 16))
+    d = jnp.tile(d_c, (1, 16))
+    hi = jnp.maximum(a * cmax, a * cmin) + d
+    amax = jnp.max(jnp.maximum(hi, 0.0), axis=1)
+    s = jnp.where(amax > 0, 127.0 / amax, 1.0)
+    inv_s = jnp.where(amax > 0, amax / 127.0, 1.0)
+    ad = jnp.stack([a * s[:, None], d * s[:, None]], axis=1)
+    return ad, inv_s.reshape(b, 1, 1)
+
+
+def _kernel_up1_rq_hbm(guard, wp, w_cells, chunk, n_chunks, srows,
+                       acc_hbm, ad_ref, o_ref, buf, sems):
+    i = pl.program_id(0)
+    valid = _valid_mask(chunk, wp, w_cells)
+    a2 = ad_ref[0, 0:1, :]
+    d2 = ad_ref[0, 1:2, :]
+
+    def _start(c):
+        dma = pltpu.make_async_copy(
+            acc_hbm.at[i, pl.ds(c * chunk, chunk), :],
+            buf.at[c % 2], sems.at[c % 2])
+        dma.start()
+        return dma
+
+    pending = {0: _start(0)}
+    for c in range(n_chunks):
+        if c + 1 < n_chunks:
+            pending[c + 1] = _start(c + 1)
+        pending.pop(c).wait()
+        xf = buf[c % 2].astype(jnp.float32)
+        y = jnp.minimum(jnp.maximum(xf * a2 + d2, 0.0), 127.0)
+        q = jnp.round(y).astype(jnp.int8)
+        o_ref[0, pl.ds(guard + c * chunk, chunk), :] = jnp.where(
+            valid, q, jnp.int8(0))
+    o_ref[0, pl.ds(0, guard), :] = jnp.zeros((guard, 1024), jnp.int8)
+    o_ref[0, pl.ds(guard + srows, guard), :] = jnp.zeros(
+        (guard, 1024), jnp.int8)
+    _reflect_fill(o_ref, guard, wp, w_cells, srows)
+
+
+def up1_s2d16_hbm(x_q: jax.Array, w_packed: jax.Array, w_cells: int = 128,
+                  eps: float = _EPS):
+    """HBM-staged up1 site for grids whose int32 slab exceeds VMEM.
+
+    Same contract as :func:`up1_s2d16` (guarded s2d-4 slab in, REFLECT-
+    guarded s2d-16 int8 slab + inv_scale out) on the w_cells grid.
+    """
+    wp, srows, chunk, n_chunks, g = dec_geometry(w_cells)
+    bsz, xrows, cin = x_q.shape
+    assert xrows == srows + 2 * g and cin == 512, (x_q.shape, w_cells)
+    assert w_packed.shape == (16 * 4 * 128, 64)
+
+    acc, stats = pl.pallas_call(
+        functools.partial(_kernel_up1_conv_hbm, g, wp, w_cells, chunk,
+                          n_chunks),
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((1, xrows, 512), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w_packed.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 4, 1024), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, srows, 1024), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, 4, 1024), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, 1024), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(x_q, w_packed)
+
+    ad, inv_s = _up1_scales(stats, float((4 * w_cells) ** 2), eps)
+
+    slab = pl.pallas_call(
+        functools.partial(_kernel_up1_rq_hbm, g, wp, w_cells, chunk,
+                          n_chunks, srows),
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 2, 1024), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, xrows, 1024), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, xrows, 1024), jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, 1024), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(acc, ad)
+    return slab, inv_s
 
 
 # ------------------------------------------------------ reflect guard fill
@@ -296,27 +491,28 @@ def _px_l(x):
                                          jnp.zeros_like(x))))
 
 
-def reflect_guard_ref(slab: jax.Array) -> jax.Array:
+def reflect_guard_ref(slab: jax.Array, w_cells: int = 64) -> jax.Array:
     """Pure-JAX reference of the in-kernel guard fill (tests / CPU path).
 
-    Takes a zero-guarded s2d-16 slab [B, g+4608+g, 1024] and returns it
-    with the reflect guards filled exactly as _kernel_up1_s2d16 does.
+    Takes a zero-guarded s2d-16 slab [B, g+srows+g, 1024] and returns it
+    with the reflect guards filled exactly as :func:`_reflect_fill` does.
     """
-    g = guard_rows(64)
+    wp, srows, _, _, g = dec_geometry(w_cells)
     b, xrows, _ = slab.shape
 
     def one(s):
-        s = s.at[g - WP:g].set(_py_top(s[g:g + WP]))
-        s = s.at[g + SROWS:g + SROWS + WP].set(
-            _py_bot(s[g + SROWS - WP:g + SROWS]))
-        p0, pn = 32, xrows - 64
-        rr = (jnp.arange(pn) + p0 - g + 2 * WP * g) % WP
+        s = s.at[g - wp:g].set(_py_top(s[g:g + wp]))
+        s = s.at[g + srows:g + srows + wp].set(
+            _py_bot(s[g + srows - wp:g + srows]))
+        p0, pn = 8, xrows - 16
+        rr = (jnp.arange(pn) + p0 - g + 2 * wp * g) % wp
         ext = s[p0:p0 + pn]
-        out = jnp.where((rr == 64)[:, None], _px_r(s[p0 - 1:p0 - 1 + pn]),
-                        jnp.where((rr == 71)[:, None],
+        out = jnp.where((rr == w_cells)[:, None],
+                        _px_r(s[p0 - 1:p0 - 1 + pn]),
+                        jnp.where((rr == wp - 1)[:, None],
                                   _px_l(s[p0 + 1:p0 + 1 + pn]), ext))
         s = s.at[p0:p0 + pn].set(out)
-        return s.at[g - WP - 1].set(_px_l(s[g - WP:g - WP + 1])[0])
+        return s.at[g - wp - 1].set(_px_l(s[g - wp:g - wp + 1])[0])
 
     return jax.vmap(one)(slab)
 
@@ -355,22 +551,23 @@ def pack_final_s2d16(w_hwio, cch: int = 64) -> jax.Array:
     return jnp.asarray(packed)
 
 
-def _kernel_final7(guard, x_ref, w_ref, sv_ref, bias_ref, is_ref, o_ref):
+def _kernel_final7(guard, wp, w_cells, chunk, n_chunks,
+                   x_ref, w_ref, sv_ref, bias_ref, is_ref, o_ref):
     """9-tap conv7 on the s2d-16 slab + dequant + tanh + uint8, one sample.
 
     Mosaic cannot cast float->uint8, so the store is int8 holding the
     uint8 value's BITS (v-256 for v>127); :func:`unphase_s2d16_u8` then
     recovers uint8 with a free bitcast instead of an add pass.
     """
-    valid = _valid_mask(CHUNK, WP, 64)
-    offs = [dI * WP + dJ for dI in (-1, 0, 1) for dJ in (-1, 0, 1)]
+    valid = _valid_mask(chunk, wp, w_cells)
+    offs = [dI * wp + dJ for dI in (-1, 0, 1) for dJ in (-1, 0, 1)]
     inv_s = is_ref[0, 0, 0]
     sv = sv_ref[0, :, :].astype(jnp.float32) * inv_s
     bias = bias_ref[0, :, :].astype(jnp.float32)
-    for c in range(N_CHUNKS):
+    for c in range(n_chunks):
         yc = None
         for t, off in enumerate(offs):
-            lhs = x_ref[0, pl.ds(guard + c * CHUNK + off, CHUNK), :]
+            lhs = x_ref[0, pl.ds(guard + c * chunk + off, chunk), :]
             d = jax.lax.dot_general(
                 lhs, w_ref[t * 1024:(t + 1) * 1024, :],
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -380,25 +577,26 @@ def _kernel_final7(guard, x_ref, w_ref, sv_ref, bias_ref, is_ref, o_ref):
         yf = jnp.tanh(yc.astype(jnp.float32) * sv + bias)
         v = jnp.clip(jnp.round((yf + 1.0) * 127.5), 0.0, 255.0)
         q = jnp.where(v > 127.0, v - 256.0, v).astype(jnp.int8)
-        o_ref[0, pl.ds(c * CHUNK, CHUNK), :] = jnp.where(
+        o_ref[0, pl.ds(c * chunk, chunk), :] = jnp.where(
             valid, q, jnp.int8(0))
 
 
 def final7_tanh_u8(x_q: jax.Array, w_packed: jax.Array, wscale: jax.Array,
-                   bias: jax.Array, inv_s: jax.Array) -> jax.Array:
-    """Reflect-guarded s2d-16 slab -> serving-ready uint8 s2d-16 [B,4608,48].
+                   bias: jax.Array, inv_s: jax.Array,
+                   w_cells: int = 64) -> jax.Array:
+    """Reflect-guarded s2d-16 slab -> serving-ready uint8 s2d-16 [B,srows,48].
 
     wscale/bias: per-RGB-channel dequant scale and bias ([3] each, tiled to
     the 48 output lanes here); inv_s: [B,1,1] activation scale from up1.
     """
-    g = guard_rows(64)
+    wp, srows, chunk, n_chunks, g = dec_geometry(w_cells)
     bsz, xrows, cin = x_q.shape
-    assert xrows == SROWS + 2 * g and cin == 1024
+    assert xrows == srows + 2 * g and cin == 1024
     assert w_packed.shape == (9 * 1024, 48)
     sv = jnp.tile(jnp.asarray(wscale, jnp.float32)[:3], 16)[None, None, :]
     bv = jnp.tile(jnp.asarray(bias, jnp.float32)[:3], 16)[None, None, :]
     return pl.pallas_call(
-        functools.partial(_kernel_final7, g),
+        functools.partial(_kernel_final7, g, wp, w_cells, chunk, n_chunks),
         grid=(bsz,),
         in_specs=[
             pl.BlockSpec((1, xrows, 1024), lambda i: (i, 0, 0),
@@ -412,28 +610,29 @@ def final7_tanh_u8(x_q: jax.Array, w_packed: jax.Array, wscale: jax.Array,
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, SROWS, 48), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, srows, 48), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, SROWS, 48), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((bsz, srows, 48), jnp.int8),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
     )(x_q, w_packed, sv, bv, inv_s)
 
 
-def unphase_s2d16_u8(y: jax.Array) -> jax.Array:
-    """[B, 4608, 48] int8 (uint8 bits) s2d-16 -> [B, 256, 256, 3] uint8."""
+def unphase_s2d16_u8(y: jax.Array, w_cells: int = 64) -> jax.Array:
+    """[B, srows, 48] int8 (uint8 bits) s2d-16 -> [B, 4w, 4w, 3] uint8."""
+    wp = w_cells + 8
     b = y.shape[0]
     v = jax.lax.bitcast_convert_type(y, jnp.uint8)
-    v = v.reshape(b, 64, WP, 4, 4, 3)[:, :, :64]
+    v = v.reshape(b, w_cells, wp, 4, 4, 3)[:, :, :w_cells]
     v = v.transpose(0, 1, 3, 2, 4, 5)
-    return v.reshape(b, 256, 256, 3)
+    return v.reshape(b, 4 * w_cells, 4 * w_cells, 3)
 
 
-def unphase_s2d16(y: jax.Array, cch: int = 64) -> jax.Array:
-    """Guarded s2d-16 slab [B, g+4608+g, 16*cch] -> [B, 256, 256, cch]."""
-    g = guard_rows(64)
+def unphase_s2d16(y: jax.Array, cch: int = 64, w_cells: int = 64) -> jax.Array:
+    """Guarded s2d-16 slab [B, g+srows+g, 16*cch] -> [B, 4w, 4w, cch]."""
+    wp, srows, _, _, g = dec_geometry(w_cells)
     b = y.shape[0]
-    v = y[:, g:g + SROWS, :].reshape(b, 64, WP, 4, 4, cch)[:, :, :64]
+    v = y[:, g:g + srows, :].reshape(b, w_cells, wp, 4, 4, cch)[:, :, :w_cells]
     v = v.transpose(0, 1, 3, 2, 4, 5)
-    return v.reshape(b, 256, 256, cch)
+    return v.reshape(b, 4 * w_cells, 4 * w_cells, cch)

@@ -48,7 +48,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from msig_tpu.ops.fused_conv_int8_v2 import GUARD, _interpret, _valid_mask
+from msig_tpu.ops.fused_conv_int8_v2 import (
+    GUARD,
+    _interpret,
+    _valid_mask,
+    guard_rows,
+)
 
 _EPS = 1e-5
 WP = 72            # padded row width of the 64-grid
@@ -63,23 +68,42 @@ IN0_SLAB = 67 * WP          # one whole slack cell row: the last chunk's +146
                             # slab with a SINGLE pad (rows+cols in one copy)
 
 
+def enc_geometry(w_cells: int):
+    """(wp, srows, chunk, n_chunks, guard, in0_slab) for the w_cells grid.
+
+    w_cells=64 covers 256^2 images (4x4-pixel cells), 128 covers 512^2.
+    enc0's input slab has w_cells+2 live cell rows (reflect ring) plus one
+    slack row so the last chunk's farthest tap offset stays in bounds.
+    """
+    wp = w_cells + 8
+    srows = w_cells * wp
+    chunk_cells = 16 if w_cells <= 64 else 8
+    chunk = chunk_cells * wp
+    assert srows % chunk == 0
+    return wp, srows, chunk, srows // chunk, guard_rows(w_cells), \
+        (w_cells + 3) * wp
+
+
 def prep_s2d4_input(img_u8: jax.Array) -> jax.Array:
-    """uint8 NHWC 256^2 image -> enc0's input slab [B, IN0_SLAB, 48] int8.
+    """uint8 NHWC 256^2/512^2 image -> enc0's input slab [B, in0_slab, 48].
 
     Recenters (x-128, absorbing the reference's (x/127.5 - 1) normalization
     exactly as msig_tpu/infer/quantized.py does), reflect-pads by 4 (one
     pixel more than the conv needs; the extra ring only ever multiplies
-    zero weights), and space-to-depths by 4 onto the 66x66 grid.
+    zero weights), and space-to-depths by 4 onto the (w_cells+2)^2 grid.
     """
-    b = img_u8.shape[0]
+    b, px = img_u8.shape[0], img_u8.shape[1]
+    w_cells = px // 4
+    wp, _, _, _, _, in0_slab = enc_geometry(w_cells)
+    gc = w_cells + 2
     # x - 128 == x XOR 0x80 reinterpreted as int8: one bitwise pass instead
     # of a widen-subtract-narrow chain.
     x = jax.lax.bitcast_convert_type(img_u8 ^ jnp.uint8(128), jnp.int8)
     x = jnp.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)), mode="reflect")
-    x = x.reshape(b, 66, 4, 66, 4, 3).transpose(0, 1, 3, 2, 4, 5)
-    x = x.reshape(b, 66, 66, 48)
-    x = jnp.pad(x, ((0, 0), (0, 1), (0, WP - 66), (0, 0)))
-    return x.reshape(b, IN0_SLAB, 48)
+    x = x.reshape(b, gc, 4, gc, 4, 3).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(b, gc, gc, 48)
+    x = jnp.pad(x, ((0, 0), (0, 1), (0, wp - gc), (0, 0)))
+    return x.reshape(b, in0_slab, 48)
 
 
 def _lane_b_major(qy: int, qx: int, c: int, cch: int = 64) -> int:
@@ -218,42 +242,45 @@ def _epilogue_in_relu_requant(acc, o_ref, valid, fold, n, ntot, guard, srows,
 from msig_tpu.ops.fused_conv_int8_v2 import _stats_update_slim as _stats_update  # noqa: E402
 
 
-def _kernel_enc0(eps, x_ref, w_ref, o_ref, acc, col):
+def _kernel_enc0(eps, w_cells, x_ref, w_ref, o_ref, acc, col):
     """enc0: 9-tap s2d-4 conv (48 -> 1024 lanes) + IN(fold16) + ReLU + rq.
 
     K=48 per-tap matmuls fill only 48/128 of the MXU's systolic depth
-    (measured ~23% MXU); the taps are im2col'd into a [CHUNK, 432] VMEM
+    (measured ~23% MXU); the taps are im2col'd into a [chunk, 432] VMEM
     scratch so each chunk is ONE K=432 matmul.
     """
-    valid = _valid_mask(CHUNK, WP, 64)
+    wp, srows, chunk, n_chunks, g, _ = enc_geometry(w_cells)
+    valid = _valid_mask(chunk, wp, w_cells)
     sums = jnp.zeros((1, 1024), jnp.float32)
     sumsq = jnp.zeros((1, 1024), jnp.float32)
     cmin = jnp.full((1, 1024), jnp.inf, jnp.float32)
     cmax = jnp.full((1, 1024), -jnp.inf, jnp.float32)
-    offs = [(dy + 1) * WP + (dx + 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
-    for c in range(N_CHUNKS):
+    offs = [(dy + 1) * wp + (dx + 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    for c in range(n_chunks):
         for t, off in enumerate(offs):
-            col[:, t * 48:(t + 1) * 48] = x_ref[0, pl.ds(c * CHUNK + off, CHUNK), :]
+            col[:, t * 48:(t + 1) * 48] = x_ref[0, pl.ds(c * chunk + off, chunk), :]
         yc = jax.lax.dot_general(
             col[:, :], w_ref[:, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        acc[pl.ds(c * CHUNK, CHUNK), :] = yc
+        acc[pl.ds(c * chunk, chunk), :] = yc
         sums, sumsq, cmin, cmax = _stats_update(yc, valid, sums, sumsq, cmin, cmax)
-    # stats fold 16 phase blocks of 64 channels; spatial n = 256^2 per chan
-    _epilogue_in_relu_requant(acc, o_ref, valid, 16, float(64 * 64 * 16), 1024,
-                              GUARD, SROWS, CHUNK, eps, sums, sumsq, cmin, cmax)
+    # stats fold 16 phase blocks of 64 channels; spatial n = (4w)^2 per chan
+    _epilogue_in_relu_requant(acc, o_ref, valid, 16,
+                              float(w_cells * w_cells * 16), 1024,
+                              g, srows, chunk, eps, sums, sumsq, cmin, cmax)
 
 
-def _kernel_enc1(eps, x_ref, w_ref, o_ref, acc):
+def _kernel_enc1(eps, w_cells, x_ref, w_ref, o_ref, acc):
     """enc1: 4 phases x 9 grid taps (256-lane slices) -> 512 lanes."""
-    valid = _valid_mask(CHUNK, WP, 64)
+    wp, srows, chunk, n_chunks, g, _ = enc_geometry(w_cells)
+    valid = _valid_mask(chunk, wp, w_cells)
     sums = jnp.zeros((1, 512), jnp.float32)
     sumsq = jnp.zeros((1, 512), jnp.float32)
     cmin = jnp.full((1, 512), jnp.inf, jnp.float32)
     cmax = jnp.full((1, 512), -jnp.inf, jnp.float32)
-    for c in range(N_CHUNKS):
+    for c in range(n_chunks):
         phases = []
         blk = 0
         for ay in (0, 1):
@@ -265,7 +292,7 @@ def _kernel_enc1(eps, x_ref, w_ref, o_ref, acc):
                         DX, bx = _V2DB[ax + dx2]
                         bblk = by * 2 + bx
                         lhs = x_ref[0,
-                                    pl.ds(GUARD + c * CHUNK + DY * WP + DX, CHUNK),
+                                    pl.ds(g + c * chunk + DY * wp + DX, chunk),
                                     bblk * 256:(bblk + 1) * 256]
                         d = jax.lax.dot_general(
                             lhs, w_ref[blk * 256:(blk + 1) * 256, :],
@@ -276,29 +303,31 @@ def _kernel_enc1(eps, x_ref, w_ref, o_ref, acc):
                         blk += 1
                 phases.append(aq)
         yc = jnp.concatenate(phases, axis=1)
-        acc[pl.ds(c * CHUNK, CHUNK), :] = yc
+        acc[pl.ds(c * chunk, chunk), :] = yc
         sums, sumsq, cmin, cmax = _stats_update(yc, valid, sums, sumsq, cmin, cmax)
-    # fold the 4 b-blocks; spatial n = 128^2 per channel
-    _epilogue_in_relu_requant(acc, o_ref, valid, 4, float(64 * 64 * 4), 512,
-                              GUARD, SROWS, CHUNK, eps, sums, sumsq, cmin, cmax)
+    # fold the 4 b-blocks; spatial n = (2w)^2 per channel
+    _epilogue_in_relu_requant(acc, o_ref, valid, 4,
+                              float(w_cells * w_cells * 4), 512,
+                              g, srows, chunk, eps, sums, sumsq, cmin, cmax)
 
 
-def _kernel_enc2(eps, x_ref, w_ref, o_ref, os_ref, acc):
+def _kernel_enc2(eps, w_cells, x_ref, w_ref, o_ref, os_ref, acc):
     """enc2: 16 dense taps (128-lane slices) -> 256 lanes (trunk layout)."""
-    valid = _valid_mask(CHUNK, WP, 64)
+    wp, srows, chunk, n_chunks, g, _ = enc_geometry(w_cells)
+    valid = _valid_mask(chunk, wp, w_cells)
     sums = jnp.zeros((1, 256), jnp.float32)
     sumsq = jnp.zeros((1, 256), jnp.float32)
     cmin = jnp.full((1, 256), jnp.inf, jnp.float32)
     cmax = jnp.full((1, 256), -jnp.inf, jnp.float32)
     pairs = [_V2DB[v - 1] for v in range(4)]  # (DY,by) for u = 0..3
-    for c in range(N_CHUNKS):
+    for c in range(n_chunks):
         yc = None
         blk = 0
         for (DY, by) in pairs:
             for (DX, bx) in pairs:
                 bblk = by * 2 + bx
                 lhs = x_ref[0,
-                            pl.ds(GUARD + c * CHUNK + DY * WP + DX, CHUNK),
+                            pl.ds(g + c * chunk + DY * wp + DX, chunk),
                             bblk * 128:(bblk + 1) * 128]
                 d = jax.lax.dot_general(
                     lhs, w_ref[blk * 128:(blk + 1) * 128, :],
@@ -307,18 +336,146 @@ def _kernel_enc2(eps, x_ref, w_ref, o_ref, os_ref, acc):
                 )
                 yc = d if yc is None else yc + d
                 blk += 1
-        acc[pl.ds(c * CHUNK, CHUNK), :] = yc
+        acc[pl.ds(c * chunk, chunk), :] = yc
         sums, sumsq, cmin, cmax = _stats_update(yc, valid, sums, sumsq, cmin, cmax)
-    _epilogue_in_relu_requant(acc, o_ref, valid, 1, float(64 * 64), 256,
-                              GUARD, SROWS, CHUNK, eps, sums, sumsq, cmin, cmax,
-                              os_ref=os_ref)
+    _epilogue_in_relu_requant(acc, o_ref, valid, 1, float(w_cells * w_cells),
+                              256, g, srows, chunk, eps, sums, sumsq, cmin,
+                              cmax, os_ref=os_ref)
 
 
-def _call(kernel, x, w, ntot, in_rows, eps, extra_scratch=()):
-    bsz = x.shape[0]
-    out_rows = SROWS + 2 * GUARD
+def _kernel_enc0_conv_hbm(w_cells, x_ref, w_ref, acc_hbm, st_ref, col, buf,
+                          sems):
+    """enc0 conv + stats at the 128-grid: im2col chunks drain to HBM."""
+    wp, srows, chunk, n_chunks, _, _ = enc_geometry(w_cells)
+    i = pl.program_id(0)
+    valid = _valid_mask(chunk, wp, w_cells)
+    sums = jnp.zeros((1, 1024), jnp.float32)
+    sumsq = jnp.zeros((1, 1024), jnp.float32)
+    cmin = jnp.full((1, 1024), jnp.inf, jnp.float32)
+    cmax = jnp.full((1, 1024), -jnp.inf, jnp.float32)
+    offs = [(dy + 1) * wp + (dx + 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    pending = [None, None]
+    for c in range(n_chunks):
+        slot = c % 2
+        if pending[slot] is not None:
+            pending[slot].wait()
+        for t, off in enumerate(offs):
+            col[:, t * 48:(t + 1) * 48] = x_ref[0, pl.ds(c * chunk + off, chunk), :]
+        yc = jax.lax.dot_general(
+            col[:, :], w_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        buf[slot] = yc
+        dma = pltpu.make_async_copy(
+            buf.at[slot], acc_hbm.at[i, pl.ds(c * chunk, chunk), :],
+            sems.at[slot])
+        dma.start()
+        pending[slot] = dma
+        sums, sumsq, cmin, cmax = _stats_update(yc, valid, sums, sumsq,
+                                                cmin, cmax)
+    for dma in pending:
+        dma.wait()
+    st_ref[0, 0:1, :] = sums
+    st_ref[0, 1:2, :] = sumsq
+    st_ref[0, 2:3, :] = cmin
+    st_ref[0, 3:4, :] = cmax
+
+
+def _kernel_enc0_rq_hbm(w_cells, acc_hbm, ad_ref, o_ref, buf, sems):
+    """Requant the staged int32 chunks into the zero-guarded output slab."""
+    wp, srows, chunk, n_chunks, g, _ = enc_geometry(w_cells)
+    i = pl.program_id(0)
+    valid = _valid_mask(chunk, wp, w_cells)
+    a2 = ad_ref[0, 0:1, :]
+    d2 = ad_ref[0, 1:2, :]
+
+    def _start(c):
+        dma = pltpu.make_async_copy(
+            acc_hbm.at[i, pl.ds(c * chunk, chunk), :],
+            buf.at[c % 2], sems.at[c % 2])
+        dma.start()
+        return dma
+
+    pending = {0: _start(0)}
+    for c in range(n_chunks):
+        if c + 1 < n_chunks:
+            pending[c + 1] = _start(c + 1)
+        pending.pop(c).wait()
+        xf = buf[c % 2].astype(jnp.float32)
+        y = jnp.minimum(jnp.maximum(xf * a2 + d2, 0.0), 127.0)
+        q = jnp.round(y).astype(jnp.int8)
+        o_ref[0, pl.ds(g + c * chunk, chunk), :] = jnp.where(
+            valid, q, jnp.int8(0))
+    o_ref[0, pl.ds(0, g), :] = jnp.zeros((g, 1024), jnp.int8)
+    o_ref[0, pl.ds(g + srows, g), :] = jnp.zeros((g, 1024), jnp.int8)
+
+
+def _enc0_hbm(x_slab, w_packed, eps, w_cells):
+    """HBM-staged enc0 (same scheme as ops/fused_dec_int8.up1_s2d16_hbm):
+    conv+stats kernel -> XLA IN fold16 -> requant kernel."""
+    from msig_tpu.ops.fused_dec_int8 import _up1_scales
+
+    wp, srows, chunk, n_chunks, g, in0_slab = enc_geometry(w_cells)
+    bsz = x_slab.shape[0]
+    out_rows = srows + 2 * g
+    acc, stats = pl.pallas_call(
+        functools.partial(_kernel_enc0_conv_hbm, w_cells),
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((1, in0_slab, 48), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w_packed.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 4, 1024), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, srows, 1024), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, 4, 1024), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((chunk, 9 * 48), jnp.int8),
+            pltpu.VMEM((2, chunk, 1024), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(x_slab, w_packed)
+
+    ad, _ = _up1_scales(stats, float(w_cells * w_cells * 16), eps)
+
     return pl.pallas_call(
-        functools.partial(kernel, eps),
+        functools.partial(_kernel_enc0_rq_hbm, w_cells),
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 2, 1024), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, out_rows, 1024), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, out_rows, 1024), jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, 1024), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(acc, ad)
+
+
+def _call(kernel, x, w, ntot, in_rows, eps, w_cells, extra_scratch=()):
+    bsz = x.shape[0]
+    _, srows, _, _, g, _ = enc_geometry(w_cells)
+    out_rows = srows + 2 * g
+    return pl.pallas_call(
+        functools.partial(kernel, eps, w_cells),
         grid=(bsz,),
         in_specs=[
             pl.BlockSpec((1, in_rows, x.shape[2]), lambda i: (i, 0, 0),
@@ -328,37 +485,48 @@ def _call(kernel, x, w, ntot, in_rows, eps, extra_scratch=()):
         out_specs=pl.BlockSpec((1, out_rows, ntot), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, out_rows, ntot), jnp.int8),
-        scratch_shapes=[pltpu.VMEM((SROWS, ntot), jnp.int32), *extra_scratch],
+        scratch_shapes=[pltpu.VMEM((srows, ntot), jnp.int32), *extra_scratch],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=_interpret(),
     )(x, w)
 
 
-def enc0_in_relu_requant(x_slab, w_packed, eps: float = _EPS):
-    """[B, IN0_SLAB, 48] int8 -> [B, SROWS+2*GUARD, 1024] int8 (b-major)."""
-    assert x_slab.shape[1:] == (IN0_SLAB, 48)
+def enc0_in_relu_requant(x_slab, w_packed, eps: float = _EPS,
+                         w_cells: int = 64):
+    """[B, in0_slab, 48] int8 -> [B, srows+2g, 1024] int8 (b-major).
+
+    At w_cells=128 (512^2) the int32 accumulator slab exceeds VMEM, so the
+    site runs as the HBM-staged kernel pair (same scheme as
+    ops/fused_dec_int8.up1_s2d16_hbm).
+    """
+    wp, srows, chunk, n_chunks, g, in0_slab = enc_geometry(w_cells)
+    assert x_slab.shape[1:] == (in0_slab, 48)
     assert w_packed.shape == (9 * 48, 1024)
-    return _call(_kernel_enc0, x_slab, w_packed, 1024, IN0_SLAB, eps,
-                 extra_scratch=(pltpu.VMEM((CHUNK, 9 * 48), jnp.int8),))
+    if w_cells > 64:
+        return _enc0_hbm(x_slab, w_packed, eps, w_cells)
+    return _call(_kernel_enc0, x_slab, w_packed, 1024, in0_slab, eps, w_cells,
+                 extra_scratch=(pltpu.VMEM((chunk, 9 * 48), jnp.int8),))
 
 
-def enc1_in_relu_requant(x, w_packed, eps: float = _EPS):
-    """[B, SROWS+2G, 1024] -> [B, SROWS+2G, 512] int8 (b-major)."""
-    assert x.shape[1:] == (SROWS + 2 * GUARD, 1024)
+def enc1_in_relu_requant(x, w_packed, eps: float = _EPS, w_cells: int = 64):
+    """[B, srows+2g, 1024] -> [B, srows+2g, 512] int8 (b-major)."""
+    _, srows, _, _, g, _ = enc_geometry(w_cells)
+    assert x.shape[1:] == (srows + 2 * g, 1024)
     assert w_packed.shape == (4 * 9 * 256, 128)
-    return _call(_kernel_enc1, x, w_packed, 512, SROWS + 2 * GUARD, eps)
+    return _call(_kernel_enc1, x, w_packed, 512, srows + 2 * g, eps, w_cells)
 
 
-def enc2_in_relu_requant(x, w_packed, eps: float = _EPS):
-    """[B, SROWS+2G, 512] -> ([B, SROWS+2G, 256] int8 (trunk layout),
+def enc2_in_relu_requant(x, w_packed, eps: float = _EPS, w_cells: int = 64):
+    """[B, srows+2g, 512] -> ([B, srows+2g, 256] int8 (trunk layout),
     inv_scale [B,1,1] f32 — the residual carry's dequant scale)."""
-    assert x.shape[1:] == (SROWS + 2 * GUARD, 512)
+    _, srows, _, _, g, _ = enc_geometry(w_cells)
+    assert x.shape[1:] == (srows + 2 * g, 512)
     assert w_packed.shape == (16 * 128, 256)
     bsz = x.shape[0]
-    out_rows = SROWS + 2 * GUARD
+    out_rows = srows + 2 * g
     return pl.pallas_call(
-        functools.partial(_kernel_enc2, eps),
+        functools.partial(_kernel_enc2, eps, w_cells),
         grid=(bsz,),
         in_specs=[
             pl.BlockSpec((1, out_rows, 512), lambda i: (i, 0, 0),
@@ -374,7 +542,7 @@ def enc2_in_relu_requant(x, w_packed, eps: float = _EPS):
             jax.ShapeDtypeStruct((bsz, out_rows, 256), jnp.int8),
             jax.ShapeDtypeStruct((bsz, 1, 1), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((SROWS, 256), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((srows, 256), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=_interpret(),
