@@ -7,5 +7,6 @@ from msig_tpu.losses.vgg import (  # noqa: F401
     load_vgg_params,
     style_content_loss,
     style_content_loss_pair,
+    style_content_loss_pair2,
     vgg_features,
 )

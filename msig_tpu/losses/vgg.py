@@ -214,3 +214,43 @@ def style_content_loss_pair(
     content_B = jnp.mean(jnp.abs(group(f4, 0) - group(f4, 2)))  # fake_B vs real_A
     content_A = jnp.mean(jnp.abs(group(f4, 1) - group(f4, 3)))  # fake_A vs real_B
     return (content_B, style_B), (content_A, style_A)
+
+
+def style_content_loss_pair2(
+    params: VGGParams,
+    fake_B: jax.Array,
+    real_B: jax.Array,
+    real_A: jax.Array,
+    fake_A: jax.Array,
+    gram_dtype=jnp.float32,
+) -> Tuple[Tuple[jax.Array, jax.Array], Tuple[jax.Array, jax.Array]]:
+    """Same result as :func:`style_content_loss_pair` via TWO 2B launches.
+
+    Launch 1 stacks [fake_B, real_A] (direction B's content pair), launch 2
+    [fake_A, real_B]. Each launch's conv feature pyramid reduces to its
+    Grams + a content scalar before the next launch runs, so peak VGG
+    activation liveness is 2B feature pyramids (~half the 1x4B pair, which
+    exceeds single-chip HBM at batch 32 — docs/PERF.md) while keeping the
+    dedup: 4B total VGG work vs 6B for two 3-image calls. Only the Grams
+    of launch 1 (small [B*C, B*C] matrices) stay live across launch 2 for
+    the cross-launch style terms.
+    """
+    b = fake_B.shape[0]
+    ck = jax.checkpoint(lambda prm, st: vgg_features(prm, st, upto=5))
+
+    def launch(x, y):
+        feats = ck(params, jnp.concatenate([x, y], axis=0))
+        grams = [(gram_matrix(f[:b], gram_dtype),
+                  gram_matrix(f[b:], gram_dtype)) for f in feats]
+        f4 = feats[_CONTENT_INDEX].astype(jnp.float32)
+        content = jnp.mean(jnp.abs(f4[:b] - f4[b:]))
+        return grams, content
+
+    g1, content_B = launch(fake_B, real_A)   # grams: (fake_B, real_A)
+    g2, content_A = launch(fake_A, real_B)   # grams: (fake_A, real_B)
+    style_B = jnp.asarray(0.0, jnp.float32)
+    style_A = jnp.asarray(0.0, jnp.float32)
+    for (g_fb, g_ra), (g_fa, g_rb) in zip(g1, g2):
+        style_B += jnp.mean(jnp.abs(g_fb - g_rb))
+        style_A += jnp.mean(jnp.abs(g_fa - g_ra))
+    return (content_B, style_B), (content_A, style_A)

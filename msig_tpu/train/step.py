@@ -30,6 +30,7 @@ import optax
 
 from msig_tpu.losses import (
     l1_loss, lsgan_fake, lsgan_real, style_content_loss, style_content_loss_pair,
+    style_content_loss_pair2,
 )
 from msig_tpu.train.schedule import WEIGHT_KEYS
 from msig_tpu.train.state import Models, TrainState
@@ -55,7 +56,7 @@ def make_train_step(
     style_recon_weight: float = 0.0,
     diversity_weight: float = 0.0,
     batch_forwards: bool | None = None,
-    vgg_pair: bool | None = None,
+    vgg_pair: bool | str | None = None,  # True = 1x4B pair, "2x2" = 2x2B
     gram_dtype=jnp.float32,
 ):
     """Build the fused step. Returns fn(state, batch, vgg_params, g_lr, d_lr, w).
@@ -151,7 +152,15 @@ def make_train_step(
 
             loss_gan_A2B = lsgan_real(disc.apply(disc_params["D_B"], fake_B, y_trg))
             loss_gan_B2A = lsgan_real(disc.apply(disc_params["D_A"], fake_A, y_org))
-            if _vp:
+            if _vp == "2x2":
+                # Two 2B launches: the 4B dedup with ~half the liveness —
+                # the b32 candidate structure (VERDICT r2 weak #2).
+                (content_B, style_loss_B), (content_A, style_loss_A) = (
+                    style_content_loss_pair2(vgg_params, fake_B, real_B,
+                                             real_A, fake_A,
+                                             gram_dtype=gram_dtype)
+                )
+            elif _vp:
                 (content_B, style_loss_B), (content_A, style_loss_A) = (
                     style_content_loss_pair(vgg_params, fake_B, real_B, real_A,
                                             fake_A, gram_dtype=gram_dtype)

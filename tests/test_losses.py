@@ -145,3 +145,14 @@ def test_style_content_loss_pair_matches_two_calls():
     np.testing.assert_allclose(float(sB), float(sB2), rtol=1e-5)
     np.testing.assert_allclose(float(cA), float(cA2), rtol=1e-5)
     np.testing.assert_allclose(float(sA), float(sA2), rtol=1e-5)
+
+    # The 2x2B-chunked pair (halved VGG liveness, b32 candidate) must
+    # produce the same four losses as well.
+    from msig_tpu.losses import style_content_loss_pair2
+
+    (cB3, sB3), (cA3, sA3) = style_content_loss_pair2(
+        vgg, fake_B, real_B, real_A, fake_A)
+    np.testing.assert_allclose(float(cB), float(cB3), rtol=1e-5)
+    np.testing.assert_allclose(float(sB), float(sB3), rtol=1e-5)
+    np.testing.assert_allclose(float(cA), float(cA3), rtol=1e-5)
+    np.testing.assert_allclose(float(sA), float(sA3), rtol=1e-5)

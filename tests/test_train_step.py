@@ -118,3 +118,18 @@ class TestTrainStep:
                           jax.tree.leaves(st_f.gen_params)):
             np.testing.assert_allclose(np.asarray(lt), np.asarray(lf),
                                        rtol=2e-3, atol=2e-5)
+
+    def test_vgg_pair_2x2_matches_unbatched(self, setup):
+        """vgg_pair='2x2' (two 2B VGG launches, losses/vgg.py pair2) must
+        reproduce the unbatched structure's metrics."""
+        cfg, models, state, _, vgg, batch, w = setup
+        tx_g, tx_d = make_optimizers(cfg)
+        step_t = jax.jit(make_train_step(models, tx_g, tx_d, cfg.ema_beta,
+                                         vgg_pair="2x2"))
+        step_f = jax.jit(make_train_step(models, tx_g, tx_d, cfg.ema_beta,
+                                         vgg_pair=False))
+        _, m_t = step_t(state, batch, vgg, jnp.float32(2e-4), jnp.float32(1e-4), w)
+        _, m_f = step_f(state, batch, vgg, jnp.float32(2e-4), jnp.float32(1e-4), w)
+        for k in m_f:
+            np.testing.assert_allclose(float(m_t[k]), float(m_f[k]),
+                                       rtol=2e-4, atol=1e-5, err_msg=k)

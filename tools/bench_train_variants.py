@@ -58,6 +58,12 @@ VARIANTS = [
     ("bf+vp+cycle", {"batch_forwards": True, "vgg_pair": True,
                      "remat": "cycle"}),
     ("bf+vp+all", {"batch_forwards": True, "vgg_pair": True, "remat": True}),
+    # 2x2B-chunked VGG pair: the 4B dedup at ~half the liveness — the
+    # structure VERDICT r2 named for b32 (losses/vgg.py pair2).
+    ("vp2x2", {"vgg_pair": "2x2"}),
+    ("bf+vp2x2", {"batch_forwards": True, "vgg_pair": "2x2"}),
+    ("bf+vp2x2+cycle", {"batch_forwards": True, "vgg_pair": "2x2",
+                        "remat": "cycle"}),
 ]
 
 
