@@ -87,6 +87,7 @@ def quantize_generator_params(params: Dict[str, Any], n_residual_blocks: int) ->
 
         q["enc0_p"] = _fe.pack_enc0(_np.asarray(q["enc_conv0"]))
         q["enc1_p"] = _fe.pack_enc1(_np.asarray(q["enc_conv1"]))
+        q["enc1_i2c_p"] = _fe.pack_enc1_im2col(_np.asarray(q["enc_conv1"]))
         q["enc2_p"] = _fe.pack_enc2(_np.asarray(q["enc_conv2"]))
     # Final conv is NOT IN-followed: quantize with explicit per-out-channel
     # weight scales for a true dequant before tanh.
@@ -213,7 +214,12 @@ def _fused_encoder(q, img_u8):
     w_cells = img_u8.shape[1] // 4
     slab = fe.prep_s2d4_input(img_u8)
     h0 = fe.enc0_in_relu_requant(slab, q["enc0_p"], w_cells=w_cells)
-    h1 = fe.enc1_in_relu_requant(h0, q["enc1_p"], w_cells=w_cells)
+    if os.environ.get("MSIG_ENC1_IM2COL", "0") == "1" and "enc1_i2c_p" in q:
+        # Dense-K enc1 (2.25x fewer MACs) — opt-in pending TPU measurement.
+        h1 = fe.enc1_in_relu_requant_im2col(h0, q["enc1_i2c_p"],
+                                            w_cells=w_cells)
+    else:
+        h1 = fe.enc1_in_relu_requant(h0, q["enc1_p"], w_cells=w_cells)
     hq, inv_s = fe.enc2_in_relu_requant(h1, q["enc2_p"], w_cells=w_cells)
     return hq, inv_s.reshape(img_u8.shape[0], 1)
 

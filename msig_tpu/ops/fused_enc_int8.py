@@ -178,6 +178,56 @@ def pack_enc1(w_i8: np.ndarray) -> jax.Array:
     return jnp.asarray(packed)
 
 
+def _enc1_phase_slices(ay: int, ax: int, wp: int):
+    """The 16 (row offset, lane offset) source slices of output phase
+    (ay,ax)'s dense K=1024 im2col block, in kernel-row order u*4+v.
+
+    For each kernel row u = 2*dy2 + py2 + 1 there is exactly ONE valid
+    (dy2, py2) combo per ay (and same for columns), so the dense gather
+    has no duplicated or zero K rows — this is what removes the 2.25x
+    K inflation of the 9-tap phase-packed form.
+    """
+    def combos(a):
+        out = {}
+        for d in (-1, 0, 1):
+            DY, by = _V2DB[a + d]
+            for p in (0, 1):
+                u = 2 * d + p + 1
+                if 0 <= u < 4:
+                    out[u] = (DY, by, p)
+        return [out[u] for u in range(4)]
+
+    rows = combos(ay)
+    cols = combos(ax)
+    slices = []
+    for (DY, by, py2) in rows:
+        for (DX, bx, px2) in cols:
+            roff = DY * wp + DX
+            loff = ((by * 2 + bx) * 4 + (py2 * 2 + px2)) * 64
+            slices.append((roff, loff))
+    return slices
+
+
+def pack_enc1_im2col(w_i8: np.ndarray) -> jax.Array:
+    """[4,4,64,128] conv1 kernel -> [4*1024, 128] dense im2col rhs.
+
+    Phase-major; within each phase the 16 64-row blocks follow kernel-row
+    order u*4+v (matching :func:`_enc1_phase_slices`), so block (u,v) is
+    simply w[u, v].
+    """
+    w = np.asarray(w_i8)
+    assert w.shape == (4, 4, 64, 128)
+    packed = np.zeros((4 * 16 * 64, 128), np.int8)
+    blk = 0
+    for _ay in (0, 1):
+        for _ax in (0, 1):
+            for u in range(4):
+                for v in range(4):
+                    packed[blk * 64:(blk + 1) * 64, :] = w[u, v]
+                    blk += 1
+    return jnp.asarray(packed)
+
+
 def pack_enc2(w_i8: np.ndarray) -> jax.Array:
     """[4,4,128,256] conv2 kernel -> [16*128, 256] tap-blocked.
 
@@ -306,6 +356,44 @@ def _kernel_enc1(eps, w_cells, x_ref, w_ref, o_ref, acc):
         acc[pl.ds(c * chunk, chunk), :] = yc
         sums, sumsq, cmin, cmax = _stats_update(yc, valid, sums, sumsq, cmin, cmax)
     # fold the 4 b-blocks; spatial n = (2w)^2 per channel
+    _epilogue_in_relu_requant(acc, o_ref, valid, 4,
+                              float(w_cells * w_cells * 4), 512,
+                              g, srows, chunk, eps, sums, sumsq, cmin, cmax)
+
+
+def _kernel_enc1_im2col(eps, w_cells, x_ref, w_ref, o_ref, acc, col):
+    """enc1 as 4 dense K=1024 matmuls per chunk (im2col gather).
+
+    The phase-packed form pays 9 taps x 256 lanes = 2304 MAC-K per output
+    phase where the conv's true K is 4x4x64 = 1024 (2.25x inflation,
+    VERDICT r2 lever). Here the exactly-needed 16 64-lane slices are
+    gathered into a [chunk, 1024] VMEM scratch per phase — same scheme
+    that lifted enc0 from 23% MXU.
+    """
+    wp, srows, chunk, n_chunks, g, _ = enc_geometry(w_cells)
+    valid = _valid_mask(chunk, wp, w_cells)
+    sums = jnp.zeros((1, 512), jnp.float32)
+    sumsq = jnp.zeros((1, 512), jnp.float32)
+    cmin = jnp.full((1, 512), jnp.inf, jnp.float32)
+    cmax = jnp.full((1, 512), -jnp.inf, jnp.float32)
+    slices = [_enc1_phase_slices(ay, ax, wp)
+              for ay in (0, 1) for ax in (0, 1)]
+    for c in range(n_chunks):
+        phases = []
+        for q, sl in enumerate(slices):
+            for k, (roff, loff) in enumerate(sl):
+                col[:, k * 64:(k + 1) * 64] = x_ref[
+                    0, pl.ds(g + c * chunk + roff, chunk), loff:loff + 64]
+            d = jax.lax.dot_general(
+                col[:, :], w_ref[q * 1024:(q + 1) * 1024, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            phases.append(d)
+        yc = jnp.concatenate(phases, axis=1)
+        acc[pl.ds(c * chunk, chunk), :] = yc
+        sums, sumsq, cmin, cmax = _stats_update(yc, valid, sums, sumsq,
+                                                cmin, cmax)
     _epilogue_in_relu_requant(acc, o_ref, valid, 4,
                               float(w_cells * w_cells * 4), 512,
                               g, srows, chunk, eps, sums, sumsq, cmin, cmax)
@@ -515,6 +603,18 @@ def enc1_in_relu_requant(x, w_packed, eps: float = _EPS, w_cells: int = 64):
     assert x.shape[1:] == (srows + 2 * g, 1024)
     assert w_packed.shape == (4 * 9 * 256, 128)
     return _call(_kernel_enc1, x, w_packed, 512, srows + 2 * g, eps, w_cells)
+
+
+def enc1_in_relu_requant_im2col(x, w_packed, eps: float = _EPS,
+                                w_cells: int = 64):
+    """enc1 via dense im2col (pack_enc1_im2col weights) — exact-int
+    equivalent of :func:`enc1_in_relu_requant`, 2.25x fewer MXU MACs."""
+    wp, srows, chunk, _, g, _ = enc_geometry(w_cells)
+    assert x.shape[1:] == (srows + 2 * g, 1024)
+    assert w_packed.shape == (4 * 1024, 128)
+    return _call(_kernel_enc1_im2col, x, w_packed, 512, srows + 2 * g, eps,
+                 w_cells,
+                 extra_scratch=(pltpu.VMEM((chunk, 1024), jnp.int8),))
 
 
 def enc2_in_relu_requant(x, w_packed, eps: float = _EPS, w_cells: int = 64):

@@ -93,3 +93,18 @@ def test_full_encoder_chain_matches_xla():
     assert d2.max() <= 3 and (d2 > 1).mean() < 0.02, f"enc2: {d2.max()}"
     np.testing.assert_allclose(np.asarray(inv_s).reshape(b),
                                np.asarray(s2).reshape(b), rtol=0.02)
+
+
+def test_enc1_im2col_matches_phase_packed():
+    """Dense-K im2col enc1 == the 9-tap phase-packed kernel, exactly
+    (identical integer convs + identical epilogue math)."""
+    rng = np.random.default_rng(11)
+    img = jnp.asarray(rng.integers(0, 256, (2, 256, 256, 3)), jnp.uint8)
+    w0 = rng.integers(-32, 33, (7, 7, 3, 64)).astype(np.int8)
+    w1 = rng.integers(-32, 33, (4, 4, 64, 128)).astype(np.int8)
+
+    slab = fe.prep_s2d4_input(img)
+    h0 = fe.enc0_in_relu_requant(slab, fe.pack_enc0(w0))
+    a = fe.enc1_in_relu_requant(h0, fe.pack_enc1(w1))
+    b = fe.enc1_in_relu_requant_im2col(h0, fe.pack_enc1_im2col(w1))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
