@@ -124,6 +124,8 @@ def main():
               f"hist-TV gen {tv_gen:.4f} vs src {tv_src:.4f}", flush=True)
 
         # sample strip: source | generated for a few images
+        if args.samples <= 0:
+            continue
         strip = []
         for i in range(min(args.samples, len(src_imgs))):
             gen_img = np.asarray(Image.open(
