@@ -115,15 +115,20 @@ def bench_inference(batch_sizes=(128, 256), iters=20, warmup=3, image_size=256):
             )
             key = jax.random.PRNGKey(2)
             out = None
-            for _ in range(warmup):
-                key, sub = jax.random.split(key)
-                out = fn(p, imgs, bank, sub)
-            _sync(out)
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                key, sub = jax.random.split(key)
-                out = fn(p, imgs, bank, sub)
-            _sync(out)
+            try:
+                for _ in range(warmup):
+                    key, sub = jax.random.split(key)
+                    out = fn(p, imgs, bank, sub)
+                _sync(out)
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    key, sub = jax.random.split(key)
+                    out = fn(p, imgs, bank, sub)
+                _sync(out)
+            except Exception as e:  # one config failing must not kill the sweep
+                print(f"  {mode} batch {bs}: FAILED ({type(e).__name__}: "
+                      f"{str(e)[:200]})", file=sys.stderr)
+                continue
             dt = time.perf_counter() - t0
             rate = bs * iters / dt
             print(f"  {mode} batch {bs}: {rate:.0f} img/s ({1000 * dt / iters:.2f} ms/batch)",

@@ -291,7 +291,10 @@ def quantized_generator_apply(
         # 512^2 only on the uint8 serving path: the float fallback decoder
         # would need a w_img=256 ConvT whose scratch slab exceeds VMEM.
         or (img_u8.shape[1:] == (512, 512, 3) and out_dtype == jnp.uint8
-            and "up1_s16" in q))
+            and "up1_s16" in q
+            # kill-switch for the first real-TPU runs of the HBM-staged
+            # kernels: MSIG_512_FUSED=0 falls back to the XLA decoder.
+            and os.environ.get("MSIG_512_FUSED", "1") == "1"))
     if all_pallas:
         # All-Pallas path: fused encoder -> fused trunk -> fused decoder
         # (64-grid at 256^2, 128-grid at 512^2 with HBM-staged enc0/up1).
@@ -326,7 +329,8 @@ def quantized_generator_apply(
         from msig_tpu.ops import fused_conv_int8_v2 as _f2
 
         hq_rows = _fused_trunk(q, h, style, n_res)
-        if out_dtype == jnp.uint8 and "up1_s16" in q:
+        if (out_dtype == jnp.uint8 and "up1_s16" in q
+                and os.environ.get("MSIG_512_FUSED", "1") == "1"):
             from msig_tpu.ops import fused_dec_int8 as _fd
 
             y0, _ = _f2.convt4x4s2_in_relu_requant_ps(
