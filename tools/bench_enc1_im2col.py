@@ -4,6 +4,7 @@
 
 Usage: python tools/bench_enc1_im2col.py [B] [iters]
 """
+import os
 import sys
 import time
 
@@ -11,6 +12,8 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from msig_tpu.ops import fused_enc_int8 as fe
 

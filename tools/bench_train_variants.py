@@ -43,7 +43,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from msig_tpu.config import TrainConfig
 from msig_tpu.losses import init_vgg_params
 from msig_tpu.train.schedule import WEIGHT_KEYS
-from msig_tpu.train.state import create_train_state, make_optimizers
+from msig_tpu.train.state import Models, create_train_state, make_optimizers
 from msig_tpu.train.step import make_train_step
 
 B = int(os.environ.get("B", "32"))
@@ -75,9 +75,10 @@ def _sync(tree):
 def main():
     only = os.environ.get("ONLY")
     cfg = TrainConfig(image_size=SIZE, batch_size=B, compute_dtype="bfloat16")
-    models, state = create_train_state(jax.random.PRNGKey(0), cfg, num_domains=10)
+    models = Models.from_config(cfg, num_domains=10, dtype=jnp.bfloat16)
+    state = create_train_state(cfg, models, jax.random.PRNGKey(0))
     tx_g, tx_d = make_optimizers(cfg)
-    vgg = init_vgg_params(jax.random.PRNGKey(1), dtype=jnp.bfloat16)
+    vgg = init_vgg_params()
     rng = np.random.default_rng(0)
     batch = {
         "source": jax.device_put(rng.integers(0, 256, (B, SIZE, SIZE, 3), dtype=np.uint8)),

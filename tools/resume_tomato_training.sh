@@ -1,16 +1,29 @@
 #!/bin/bash
-# Extend the round-2 real-data run (VERDICT r2 next-round #4): resume from
-# results/tomato_r2/checkpoints/epoch_150 (18,750 optimizer steps at batch
-# 8) and push toward >=50k steps. 400 total epochs x 125 steps = 50,000.
-# ~390 ms/step --device_data => ~3.4 h for the remaining 250 epochs; run in
-# the background and checkpoint every 25 epochs so partial progress counts.
+# Round-3 long training run (VERDICT r2 next-round #4): >=50k optimizer
+# steps on the bundled tomato data. 400 epochs x 125 steps @ batch 8 =
+# 50,000 steps; ~390 ms/step with --device_data => ~5.5 h. Checkpoints
+# every 25 epochs so the quality trajectory (tools/eval_quality_trajectory.py)
+# has a dense curve and partial progress counts.
+#
+# Resumes from results/tomato_r3/checkpoints/epoch_N if present (the
+# round-2 orbax checkpoints did not survive the machine rotation — only
+# the committed fp16 EMA demo did, which is not a full train state), else
+# starts fresh. A fresh 0->400 run also gives a cleaner single-run
+# trajectory plot than a spliced resume.
 set -eu
 EPOCHS=${1:-400}
+EXP=tomato_r3
+RESUME_ARGS=()
+LAST=$(ls -d results/$EXP/checkpoints/epoch_* 2>/dev/null | sort -V | tail -1 || true)
+if [ -n "${LAST:-}" ]; then
+  echo "resuming from $LAST"
+  RESUME_ARGS=(--resume "$LAST")
+fi
 python main.py \
   --source_dir /root/reference/data/src/Tomato_healthy \
   --target_dir /root/reference/data/ref \
-  --save_dir_base results --exp_name tomato_r3 \
-  --resume results/tomato_r2/checkpoints/epoch_150 \
+  --save_dir_base results --exp_name "$EXP" \
+  "${RESUME_ARGS[@]+"${RESUME_ARGS[@]}"}" \
   --allow_random_vgg --compute_dtype bfloat16 --image_size 256 \
-  --batch_size 8 --epochs "$EPOCHS" --save_freq 25 --device_data \
+  --batch_size 8 --epochs "$EPOCHS" --save_freq 125 --device_data \
   --no_data_parallel --seed 0
