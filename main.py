@@ -84,6 +84,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="EXTENSION: diversity-sensitive loss weight (0 = parity)")
     parser.add_argument("--multihost", action="store_true",
                         help="Initialize jax.distributed for multi-host (DCN) training")
+    parser.add_argument("--watch_freq", type=int, default=0,
+                        help="With --wandb: log per-tensor gradient histograms "
+                             "every N steps (wandb.watch equivalent; reference "
+                             "uses 50). 0 disables.")
     return parser
 
 
@@ -117,6 +121,7 @@ def config_from_args(args) -> TrainConfig:
         style_recon_weight=args.style_recon_weight,
         diversity_weight=args.diversity_weight,
         allow_random_vgg=args.allow_random_vgg,
+        watch_freq=args.watch_freq,
     )
 
 

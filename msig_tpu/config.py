@@ -170,6 +170,10 @@ class TrainConfig:
     # in losses/vgg.py). The training CLI refuses to run without either
     # vgg_weights_path or this flag.
     allow_random_vgg: bool = False
+    # wandb.watch parity (reference trainer.py:294): log per-tensor
+    # gradient histograms every N steps (0 = off; reference uses 50).
+    # Histograms are binned on device — see msig_tpu/train/watch.py.
+    watch_freq: int = 0
 
     @property
     def experiment_name(self) -> str:

@@ -58,6 +58,7 @@ def make_train_step(
     batch_forwards: bool | None = None,
     vgg_pair: bool | str | None = None,  # True = 1x4B pair, "2x2" = 2x2B
     gram_dtype=jnp.float32,
+    grad_hists: int = 0,
 ):
     """Build the fused step. Returns fn(state, batch, vgg_params, g_lr, d_lr, w).
 
@@ -78,6 +79,12 @@ def make_train_step(
     StarGAN-v2-style): ``L1(SE_B(fake_B, y_trg), style_B)`` + the symmetric
     A-side term, encouraging the generator to actually carry the injected
     style. The reference has no such loss (SURVEY.md §6 caveat); 0 = parity.
+
+    ``grad_hists > 0`` additionally returns per-tensor gradient histograms
+    (``grad_hists`` bins each, computed on device — train/watch.py) under
+    ``metrics["_grad_hists"]``: the wandb.watch equivalent (reference
+    trainer.py:294). Compile this as a SECOND step variant and call it only
+    on watch steps — the histograms cost VPU time and metrics-tree size.
 
     ``diversity_weight > 0`` adds a diversity-sensitive loss (EXTENSION):
     with a second same-domain reference image in the batch (``target2``,
@@ -273,6 +280,16 @@ def make_train_step(
             "g_grad_norm": optax.global_norm(g_grads),
             "d_grad_norm": optax.global_norm(d_grads),
         }
+        if grad_hists:
+            # Full wandb.watch parity: per-tensor gradient histograms,
+            # binned on device (train/watch.py). Compiled only into the
+            # watch-step variant the trainer invokes every watch_freq
+            # steps — the hot step never pays for this.
+            from msig_tpu.train.watch import gradient_histograms
+
+            metrics["_grad_hists"] = gradient_histograms(
+                g_grads, d_grads, bins=grad_hists
+            )
         return new_state, metrics
 
     return train_step

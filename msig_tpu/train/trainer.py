@@ -88,6 +88,25 @@ class Trainer:
             ),
             self.mesh,
         )
+        # wandb.watch parity (reference trainer.py:294, log_freq=50):
+        # a second step variant that also returns on-device per-tensor
+        # gradient histograms (train/watch.py), used every watch_freq-th
+        # step. Only built when wandb logging is live, same as the
+        # reference's `if cfg.wandb: wandb.watch(...)`.
+        self.watch_freq = int(getattr(cfg, "watch_freq", 0))
+        self.train_step_watch = None
+        if self.watch_freq > 0 and wandb_run is not None:
+            self.train_step_watch = jit_train_step(
+                make_train_step(
+                    self.models, tx_g, tx_d, cfg.ema_beta, dtype,
+                    r1_gamma=getattr(cfg, "r1_gamma", 0.0),
+                    remat=getattr(cfg, "remat", False),
+                    style_recon_weight=getattr(cfg, "style_recon_weight", 0.0),
+                    diversity_weight=getattr(cfg, "diversity_weight", 0.0),
+                    grad_hists=64,
+                ),
+                self.mesh,
+            )
         self._eval_fn = jax.jit(self._make_eval_fn())
 
         self.loader = TrainLoader(
@@ -262,9 +281,19 @@ class Trainer:
             except ImportError:
                 pass
             for i, batch in enumerate(batches):
-                self.state, metrics = self.train_step(
+                watching = (
+                    self.train_step_watch is not None
+                    and (epoch * steps + i) % self.watch_freq == 0
+                )
+                step_fn = self.train_step_watch if watching else self.train_step
+                self.state, metrics = step_fn(
                     self.state, batch, self.vgg_params, g_lr, d_lr, w_vec
                 )
+                if watching:
+                    from msig_tpu.train.watch import to_wandb
+
+                    hists = jax.device_get(metrics.pop("_grad_hists"))
+                    self.wandb.log(to_wandb(hists))
                 epoch_metrics.append(metrics)
                 # weight history is per-step, like the reference (trainer.py:122)
                 for k in WEIGHT_KEYS:

@@ -15,6 +15,12 @@ with the cycle-only remat freeing exactly the longest-lived activations:
   bf+vp+all     : same with full remat
 
 Run solo (1 CPU core); readback-timed.
+
+Each variant runs in its OWN subprocess (ONLY=<name> re-invocation):
+the 2026-08-18 sweep showed every variant after the first failing with
+RESOURCE_EXHAUSTED in a shared process — live compiled executables
+accumulate HBM across variants. Subprocess isolation also contains
+transient remote-compile HTTP 500s to the one variant they hit.
 """
 
 import os
@@ -72,8 +78,29 @@ def _sync(tree):
     np.asarray(jax.device_get(leaf.ravel()[0]))
 
 
+def sweep_subprocesses():
+    """Parent mode: one subprocess per variant, each fully isolated."""
+    import subprocess
+
+    print(f"B={B} {SIZE}^2 bf16 train-step variants (subprocess-isolated):")
+    for name, _ in VARIANTS:
+        env = dict(os.environ, ONLY=name, MSIG_VARIANT_CHILD="1")
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=1800)
+        lines = [ln for ln in r.stdout.splitlines() if ln.startswith("  ")]
+        if lines:
+            for ln in lines:
+                print(ln, flush=True)
+        else:
+            tail = (r.stdout + r.stderr).strip().splitlines()[-1:]
+            print(f"  {name:<12}: FAILED (rc={r.returncode} {tail})", flush=True)
+
+
 def main():
     only = os.environ.get("ONLY")
+    if not os.environ.get("MSIG_VARIANT_CHILD") and only is None:
+        return sweep_subprocesses()
     cfg = TrainConfig(image_size=SIZE, batch_size=B, compute_dtype="bfloat16")
     models = Models.from_config(cfg, num_domains=10, dtype=jnp.bfloat16)
     state = create_train_state(cfg, models, jax.random.PRNGKey(0))
@@ -91,8 +118,9 @@ def main():
     w = jnp.asarray([1.0] * len(WEIGHT_KEYS), jnp.float32)
 
     print(f"B={B} {SIZE}^2 bf16 train-step variants:")
+    exact = bool(os.environ.get("MSIG_VARIANT_CHILD"))
     for name, kw in VARIANTS:
-        if only and only not in name:
+        if only and (name != only if exact else only not in name):
             continue
         step = jax.jit(make_train_step(
             models, tx_g, tx_d, cfg.ema_beta, compute_dtype=jnp.bfloat16, **kw))
