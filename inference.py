@@ -75,6 +75,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="Quantized generator for serving (~39 dB PSNR vs bf16)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--no_pallas", action="store_true")
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="Shard the serving batch over all local chips "
+                             "(no-op on a single device)")
     return parser
 
 
@@ -99,6 +102,7 @@ def config_from_args(args) -> InferenceConfig:
         mapping_params=args.mapping_params,
         latent_dim=args.latent_dim,
         quantize=args.quantize,
+        data_parallel=args.data_parallel,
     )
 
 

@@ -211,3 +211,6 @@ class InferenceConfig:
     latent_dim: int = 16
     # Optional int8 quantized generator ('int8' | None). ~39 dB PSNR vs bf16.
     quantize: Optional[str] = None
+    # Shard the serving batch over all local chips (params replicated,
+    # batch split on a 1-D mesh). No-op on a single device.
+    data_parallel: bool = False

@@ -11,7 +11,12 @@ throughput gap the TPU build closes. This engine:
     fused in), convs in bfloat16 on the MXU, donated input buffers;
   - pads the final partial batch to keep shapes static, then drops the
     padding on the host;
-  - overlaps host JPEG decode (thread pool) with device compute.
+  - overlaps host JPEG decode (thread pool) with device compute;
+  - optionally shards the batch axis over ALL local chips
+    (``data_parallel``): params replicated, inputs/outputs split over a
+    1-D mesh — GSPMD partitions the bf16 path, and the all-Pallas int8
+    path runs per-shard under ``shard_map`` (each chip executes the
+    fused kernels on its slice; no cross-chip traffic in the body).
 
 Checkpoint loading prefers EMA weights with raw-weight fallback
 (inference.py:46-72) via :func:`msig_tpu.train.checkpoint.load_for_inference`.
@@ -54,6 +59,8 @@ class InferenceEngine:
     # Yield uint8 images from translate_batches (device-side conversion);
     # False restores [-1,1] float32 outputs.
     out_uint8: bool = False
+    # Data-parallel serving mesh (1-D, batch axis). None = single device.
+    mesh: Optional[Any] = None
 
     @staticmethod
     def build(
@@ -65,6 +72,14 @@ class InferenceEngine:
         style_dim: Optional[int] = None,
     ) -> "InferenceEngine":
         dtype = jnp.dtype(cfg.compute_dtype)
+        mesh = None
+        if getattr(cfg, "data_parallel", False):
+            from msig_tpu.parallel.mesh import data_mesh_for_batch, replicate
+
+            mesh = data_mesh_for_batch(cfg.batch_size)
+            if mesh is not None:
+                gen_params = replicate(mesh, gen_params)
+                se_params = replicate(mesh, se_params)
         gen = StyleCycleGANGenerator(
             style_dim=style_dim or cfg.style_dim,
             n_residual_blocks=n_residual_blocks or cfg.n_residual_blocks,
@@ -83,6 +98,7 @@ class InferenceEngine:
             batch_size=cfg.batch_size,
             compute_dtype=dtype,
             quantize_int8=getattr(cfg, "quantize", None) == "int8",
+            mesh=mesh,
         )
 
     # ------------------------------------------------------------------
@@ -175,6 +191,27 @@ class InferenceEngine:
                 n_res,
             )
 
+            out_dtype = jnp.uint8 if self.out_uint8 else jnp.float32
+            apply_q = quantized_generator_apply
+            if self.mesh is not None:
+                # Pallas kernels are not GSPMD-partitionable; run the whole
+                # int8 body per-shard under shard_map (params replicated,
+                # batch split — zero collectives in the body).
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                from msig_tpu.parallel.mesh import DATA_AXIS, replicate
+
+                q = replicate(self.mesh, q)
+                apply_q = shard_map(
+                    lambda qq, im, st: quantized_generator_apply(
+                        qq, im, st, n_res=n_res, out_dtype=out_dtype),
+                    mesh=self.mesh,
+                    in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+                    out_specs=P(DATA_AXIS),
+                    check_vma=False,
+                )
+
             def generate_q(_params, imgs_u8, styles):
                 if imgs_u8.dtype != jnp.uint8:
                     imgs_u8 = jnp.clip(
@@ -183,9 +220,11 @@ class InferenceEngine:
                 # uint8 output is handled INSIDE the quantized path: the
                 # all-Pallas decoder fuses tanh + the serving conversion
                 # into its final kernel (ops/fused_dec_int8.py).
-                return quantized_generator_apply(
+                if self.mesh is not None:
+                    return apply_q(q, imgs_u8, styles.astype(jnp.float32))
+                return apply_q(
                     q, imgs_u8, styles.astype(jnp.float32), n_res=n_res,
-                    out_dtype=jnp.uint8 if self.out_uint8 else jnp.float32,
+                    out_dtype=out_dtype,
                 )
 
             return jax.jit(generate_q, donate_argnums=(1,))
@@ -200,6 +239,18 @@ class InferenceEngine:
                                           * 127.5), 0, 255).astype(jnp.uint8)
             return out.astype(jnp.float32)
 
+        if self.mesh is not None:
+            # Flax convs are per-sample: GSPMD partitions the whole forward
+            # along the batch axis with no resharding in the body.
+            from msig_tpu.parallel.mesh import batch_sharding, replicated
+
+            data = batch_sharding(self.mesh)
+            return jax.jit(
+                generate,
+                in_shardings=(replicated(self.mesh), data, data),
+                out_shardings=data,
+                donate_argnums=(1,),
+            )
         return jax.jit(generate, donate_argnums=(1,))
 
     def translate_batches(

@@ -94,3 +94,67 @@ class TestDataParallelEquivalence:
         a = jax.tree.leaves(jax.device_get(s1.gen_params))[0]
         b = jax.tree.leaves(jax.device_get(s2.gen_params))[0]
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+
+class TestDataParallelInference:
+    """Serving DP: params replicated, batch split over the 1-D mesh.
+
+    The bf16/fp32 path is GSPMD-partitioned via jit in_shardings; the int8
+    path runs per-shard under shard_map. Both must match the single-device
+    engine exactly (per-sample nets: no cross-batch math anywhere).
+    """
+
+    def _engines(self, quantize=None):
+        from msig_tpu.config import InferenceConfig
+        from msig_tpu.infer import InferenceEngine
+        from msig_tpu.models import MultiDomainStyleEncoder, StyleCycleGANGenerator
+
+        rng = jax.random.PRNGKey(0)
+        gen = StyleCycleGANGenerator(style_dim=16, n_residual_blocks=1, use_pallas=False)
+        se = MultiDomainStyleEncoder(style_dim=16, num_domains=2)
+        img = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        style = jnp.zeros((1, 16), jnp.float32)
+        gp = gen.init(rng, img, style)
+        sp = se.init(rng, img, jnp.zeros((1,), jnp.int32))
+
+        def build(dp):
+            cfg = InferenceConfig(
+                image_size=32, style_dim=16, n_residual_blocks=1, batch_size=8,
+                compute_dtype="float32", use_pallas=False, quantize=quantize,
+                data_parallel=dp,
+            )
+            return InferenceEngine.build(cfg, 2, gp, sp)
+
+        return build(False), build(True)
+
+    def _run(self, eng, imgs):
+        bank = jnp.asarray(
+            np.random.default_rng(7).standard_normal((4, 16)).astype(np.float32))
+        out, names = next(eng.translate_batches(
+            iter([(imgs, [f"i{k}" for k in range(imgs.shape[0])])]),
+            bank, "average", seed=3))
+        return out
+
+    def test_fp32_path_matches_single_device(self):
+        single, dp = self._engines()
+        assert dp.mesh is not None and dp.mesh.devices.size == 8
+        imgs = np.random.default_rng(1).integers(0, 256, (8, 32, 32, 3), dtype=np.uint8)
+        np.testing.assert_allclose(
+            self._run(single, imgs.copy()), self._run(dp, imgs.copy()),
+            rtol=1e-5, atol=1e-5)
+
+    def test_int8_path_matches_single_device(self):
+        single, dp = self._engines(quantize="int8")
+        assert dp.mesh is not None
+        imgs = np.random.default_rng(2).integers(0, 256, (8, 32, 32, 3), dtype=np.uint8)
+        np.testing.assert_allclose(
+            self._run(single, imgs.copy()), self._run(dp, imgs.copy()),
+            rtol=1e-4, atol=1e-4)
+
+    def test_partial_batch_on_mesh(self):
+        """5 images with batch 8 on the mesh: padded on device, 5 outputs."""
+        _, dp = self._engines()
+        imgs = np.random.default_rng(3).integers(0, 256, (5, 32, 32, 3), dtype=np.uint8)
+        out = self._run(dp, imgs)
+        assert out.shape == (5, 32, 32, 3)
+        assert np.isfinite(out).all()
