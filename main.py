@@ -129,6 +129,7 @@ def main(cfg: TrainConfig) -> int:
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
     import msig_tpu
 
+    msig_tpu.honor_jax_platforms_env()
     msig_tpu.enable_persistent_compile_cache()
     from msig_tpu.data import MultiDomainDataset
     from msig_tpu.train.trainer import Trainer

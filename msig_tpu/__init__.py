@@ -23,6 +23,28 @@ Layout (TPU-first, not a port):
 __version__ = "0.1.0"
 
 
+def honor_jax_platforms_env() -> None:
+    """Re-assert an explicit ``JAX_PLATFORMS`` env choice in-process.
+
+    This environment's sitecustomize registers the tunneled TPU PJRT
+    plugin at interpreter start and force-selects
+    ``jax_platforms="axon,cpu"`` via ``jax.config.update`` — which
+    silently overrides a user's ``JAX_PLATFORMS=cpu``. That routes
+    "CPU" CLI runs through the TPU tunnel, contending with any live
+    training run. Calling this before the first backend use makes the
+    env var authoritative again (no-op when unset)."""
+    import os
+
+    p = os.environ.get("JAX_PLATFORMS")
+    if p:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", p)
+        except Exception:  # unknown platform name: leave jax's default
+            pass
+
+
 def enable_persistent_compile_cache(path: str | None = None) -> None:
     """Point jax at an on-disk compilation cache (big deal on this 1-core
     host: full-path compiles take minutes). The ``JAX_COMPILATION_CACHE_DIR``

@@ -67,6 +67,10 @@ def save_sample_grid(
 
 
 def save_image(img: np.ndarray, path: str) -> None:
-    """Save one [-1,1] HWC image (inference output, reference inference.py:293-299)."""
+    """Save one HWC image: [-1,1] float, or uint8 passed through unconverted
+    (the serving engine converts on device — inference output,
+    reference inference.py:293-299)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    Image.fromarray(to_uint8(img)).save(path)
+    img = np.asarray(img)
+    u8 = img if img.dtype == np.uint8 else to_uint8(img)
+    Image.fromarray(u8).save(path)
