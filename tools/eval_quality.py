@@ -46,6 +46,7 @@ def main():
 
     import msig_tpu
 
+    msig_tpu.honor_jax_platforms_env()
     msig_tpu.enable_persistent_compile_cache()
     from PIL import Image
 
