@@ -93,3 +93,23 @@ class TestInferenceCLI:
             assert args.style_mode == mode
         with pytest.raises(SystemExit):
             infer_cli.build_arg_parser().parse_args(["--style_mode", "bogus"])
+
+
+def test_honor_jax_platforms_env_subprocess():
+    """JAX_PLATFORMS=cpu must be authoritative even though this container's
+    sitecustomize force-selects the tunneled TPU platform at interpreter
+    start (docs/ROUND3.md 'Platform hygiene')."""
+    import subprocess
+    import sys
+
+    code = (
+        "import msig_tpu; msig_tpu.honor_jax_platforms_env(); "
+        "import jax; print(jax.default_backend())"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        env={**__import__('os').environ, "JAX_PLATFORMS": "cpu"},
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip().splitlines()[-1] == "cpu"
