@@ -40,7 +40,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # Domain selection
     parser.add_argument("--target_domain", type=str,
                         default=default_config.INFERENCE_TARGET_DOMAIN,
-                        help="Name of target domain folder to translate to")
+                        help="Target domain folder to translate to; also "
+                             "accepts a comma-separated list or 'all' "
+                             "(multi-domain outputs go to output_dir/<domain>/)")
     # Model parameters
     parser.add_argument("--gpu", type=int, default=default_config.GPU,
                         help="Accepted for reference CLI parity; device selection is automatic on TPU")
@@ -139,12 +141,23 @@ def main(cfg: InferenceConfig) -> int:
     num_domains = len(domain_dirs) + 1
     say(f"Found {len(domain_dirs)} target domains: {domain_dirs}")
 
-    if cfg.target_domain not in domain_dirs:
-        raise ValueError(
-            f"Target domain '{cfg.target_domain}' not found. Available: {domain_dirs}"
-        )
-    target_idx = domain_dirs.index(cfg.target_domain) + 1
-    say(f"Target domain: {cfg.target_domain} (index: {target_idx})")
+    # EXTENSION (not in the reference, which is one domain per process):
+    # --target_domain accepts a comma-separated list or 'all'. Multi-domain
+    # runs reuse the one compiled generator (the style bank is a plain
+    # argument, so swapping domains costs zero recompiles) and write each
+    # domain under output_dir/<domain>/. A single domain keeps the
+    # reference's flat output layout.
+    if cfg.target_domain == "all":
+        targets = list(domain_dirs)
+    else:
+        targets = [d.strip() for d in cfg.target_domain.split(",") if d.strip()]
+    for t in targets:
+        if t not in domain_dirs:
+            raise ValueError(
+                f"Target domain '{t}' not found. Available: {domain_dirs}"
+            )
+    target_idx = domain_dirs.index(targets[0]) + 1
+    say(f"Target domain(s): {targets} (first index: {target_idx})")
 
     # Load model (EMA preferred, raw fallback)
     try:
@@ -168,9 +181,8 @@ def main(cfg: InferenceConfig) -> int:
         style_dim=meta.get("style_dim"),
     )
 
-    # Style source: preloaded reference bank, or (extension) mapping network
-    mapping = None
-    bank = None
+    # Style source: per-domain reference bank, or (extension) mapping network
+    map_ctx = None
     if cfg.style_mode == "latent":
         if not cfg.mapping_params:
             raise ValueError("style_mode='latent' requires --mapping_params")
@@ -196,104 +208,128 @@ def main(cfg: InferenceConfig) -> int:
         )
         with open(cfg.mapping_params, "rb") as f:
             map_params = serialization.from_bytes(template, f.read())
-        mapping = (map_mod, map_params, cfg.latent_dim, target_idx)
+        map_ctx = (map_mod, map_params)
         say("Mapping network loaded (latent-guided synthesis)")
-    else:
-        try:
-            bank = engine.preload_style_bank(
-                os.path.join(cfg.ref_domains_dir, cfg.target_domain),
-                target_idx,
-                max_styles=cfg.max_styles,
-                seed=cfg.seed,
-            )
-            say(f"Style vectors loaded successfully ({bank.shape[0]})")
-        except Exception as e:
-            print(f"Failed to load style vectors: {e}")
-            import traceback
-
-            traceback.print_exc()
-            return 1
 
     os.makedirs(cfg.output_dir, exist_ok=True)
-
-    # --save_grid: comparison grid of all style modes for the first input.
-    # (The reference parses this flag but never implements it,
-    # reference inference.py:352-353 — here it works.)
-    if cfg.save_grid and bank is not None:
-        first = next(engine.iter_input_batches(cfg.input_dir), None)
-        if first is not None:
-            import numpy as np
-
-            from msig_tpu.infer.styles import STYLE_MODES
-
-            imgs, names = first
-            one = imgs[0:1]
-            tiles = [one[0].astype("float32") / 127.5 - 1.0]
-            labels = ["input"]
-            for mode in STYLE_MODES:
-                out, _ = next(
-                    engine.translate_batches(
-                        iter([(one.copy(), names[:1])]), bank, mode,
-                        cfg.noise_level, cfg.seed,
-                    )
-                )
-                tiles.append(out[0])
-                labels.append(mode)
-            grid_path = os.path.join(cfg.output_dir, "style_modes_grid.png")
-            save_sample_grid(np.stack(tiles), grid_path, nrow=3, domain_names=labels)
-            say(f"Saved style-mode comparison grid to {grid_path}")
 
     # Serving engine: convert [-1,1] -> uint8 ON DEVICE (4x less
     # device->host traffic; the int8 path fuses the conversion into its
     # final Pallas kernel) and JPEG-encode on a thread pool so disk I/O
-    # overlaps the next batch's device compute. A fresh replace() is used
-    # (not a field flip) so the float-path jit cache above isn't reused.
+    # overlaps the next batch's device compute. The --save_grid pass below
+    # keeps using the float-output `engine` (separate jit cache).
     import dataclasses as _dc
-
+    from collections import deque
     from concurrent.futures import ThreadPoolExecutor as _Pool
 
-    engine = _dc.replace(engine, out_uint8=True)
+    serving = _dc.replace(engine, out_uint8=True)
 
     processed, failed = 0, 0
-    batches = engine.iter_input_batches(cfg.input_dir)
-    say(f"Processing images with style mode: {cfg.style_mode}")
 
-    def _save(img, name):
-        try:
-            save_image(img, os.path.join(cfg.output_dir, name))
-            return True
-        except Exception as e:
-            print(f"Error processing {name}: {e}")
-            return False
+    def run_domain(domain: str, out_dir: str) -> int:
+        """Translate every input into ``domain``; returns 1 on a fatal error.
 
-    from collections import deque
-
-    pending: deque = deque()
-
-    def _drain(limit):
+        All compiled programs are shared across domains: the style bank and
+        domain index are plain arguments of the jitted generate/encode fns.
+        """
         nonlocal processed, failed
-        while len(pending) > limit:
-            if pending.popleft().result():
-                processed += 1
-            else:
-                failed += 1
+        t_idx = domain_dirs.index(domain) + 1
+        mapping = None
+        bank = None
+        if map_ctx is not None:
+            mapping = (map_ctx[0], map_ctx[1], cfg.latent_dim, t_idx)
+        else:
+            try:
+                bank = engine.preload_style_bank(
+                    os.path.join(cfg.ref_domains_dir, domain),
+                    t_idx,
+                    max_styles=cfg.max_styles,
+                    seed=cfg.seed,
+                )
+                say(f"[{domain}] Style vectors loaded successfully ({bank.shape[0]})")
+            except Exception as e:
+                print(f"Failed to load style vectors: {e}")
+                import traceback
 
-    with _Pool(4) as pool:
-        for out, names in engine.translate_batches(
-            batches, bank, cfg.style_mode, cfg.noise_level, cfg.seed, mapping=mapping
-        ):
-            for img, name in zip(out, names):
-                pending.append(pool.submit(_save, img, name))
-            # Bound the in-flight queue (it holds translated uint8 images).
-            _drain(4 * engine.batch_size)
-        _drain(0)
+                traceback.print_exc()
+                return 1
+
+        os.makedirs(out_dir, exist_ok=True)
+
+        # --save_grid: comparison grid of all style modes for the first
+        # input. (The reference parses this flag but never implements it,
+        # reference inference.py:352-353 — here it works.)
+        if cfg.save_grid and bank is not None:
+            first = next(engine.iter_input_batches(cfg.input_dir), None)
+            if first is not None:
+                import numpy as np
+
+                from msig_tpu.infer.styles import STYLE_MODES
+
+                imgs, names = first
+                one = imgs[0:1]
+                tiles = [np.asarray(one[0], "float32") / 127.5 - 1.0]
+                labels = ["input"]
+                for mode in STYLE_MODES:
+                    out, _ = next(
+                        engine.translate_batches(
+                            iter([(one.copy(), names[:1])]), bank, mode,
+                            cfg.noise_level, cfg.seed,
+                        )
+                    )
+                    tiles.append(out[0])
+                    labels.append(mode)
+                grid_path = os.path.join(out_dir, "style_modes_grid.png")
+                save_sample_grid(np.stack(tiles), grid_path, nrow=3,
+                                 domain_names=labels)
+                say(f"Saved style-mode comparison grid to {grid_path}")
+
+        batches = serving.iter_input_batches(cfg.input_dir)
+        say(f"[{domain}] Processing images with style mode: {cfg.style_mode}")
+
+        def _save(img, name):
+            try:
+                save_image(img, os.path.join(out_dir, name))
+                return True
+            except Exception as e:
+                print(f"Error processing {name}: {e}")
+                return False
+
+        pending: deque = deque()
+
+        def _drain(limit):
+            nonlocal processed, failed
+            while len(pending) > limit:
+                if pending.popleft().result():
+                    processed += 1
+                else:
+                    failed += 1
+
+        with _Pool(4) as pool:
+            for out, names in serving.translate_batches(
+                batches, bank, cfg.style_mode, cfg.noise_level, cfg.seed,
+                mapping=mapping,
+            ):
+                for img, name in zip(out, names):
+                    pending.append(pool.submit(_save, img, name))
+                # Bound the in-flight queue (translated uint8 images).
+                _drain(4 * serving.batch_size)
+            _drain(0)
+        return 0
+
+    multi = len(targets) > 1
+    for t in targets:
+        rc = run_domain(t, os.path.join(cfg.output_dir, t) if multi else cfg.output_dir)
+        if rc:
+            return rc
 
     if processed == 0:
         print(f"WARNING: No images found in {cfg.input_dir}")
         return 1
 
     say("\nInference complete!")
-    say(f"Successfully processed: {processed} images")
+    say(f"Successfully processed: {processed} images"
+        + (f" across {len(targets)} domains" if multi else ""))
     say(f"Failed: {failed} images")
     say(f"Results saved to: {cfg.output_dir}")
     return 0

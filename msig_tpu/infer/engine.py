@@ -329,6 +329,15 @@ class InferenceEngine:
         import queue
         import threading
 
+        # With a serving mesh, stage full batches directly in the batch
+        # sharding so jit doesn't insert a reshard copy per batch. Partial
+        # batches stay on host (translate_batches pads them first).
+        full_sharding = None
+        if self.mesh is not None:
+            from msig_tpu.parallel.mesh import batch_sharding
+
+            full_sharding = batch_sharding(self.mesh)
+
         q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
         _END = object()
 
@@ -349,7 +358,11 @@ class InferenceEngine:
                         # device_put here so the host->device copy overlaps
                         # the previous batch's compute (it dominates e2e on
                         # bandwidth-limited hosts).
-                        q.put((jax.device_put(arr), [n for _, n in kept]))
+                        if full_sharding is not None and len(kept) == self.batch_size:
+                            dev = jax.device_put(arr, full_sharding)
+                        else:
+                            dev = jax.device_put(arr)
+                        q.put((dev, [n for _, n in kept]))
             finally:
                 q.put(_END)
 

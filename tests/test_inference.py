@@ -281,3 +281,60 @@ class TestTorchCheckpointInference:
         )
         assert cli.main(cfg) == 0
         assert len(os.listdir(cfg.output_dir)) == 4
+
+
+class TestMultiDomainServing:
+    """EXTENSION: --target_domain 'all' / comma-list, one compiled program."""
+
+    def test_all_domains_one_invocation(self, trained_ckpt):
+        import inference as cli
+
+        ckpt, root, tcfg = trained_ckpt
+        cfg = InferenceConfig(
+            input_dir=tcfg.source_dir, ref_domains_dir=tcfg.target_dir,
+            checkpoint_dir=ckpt, output_dir=str(root / "out_multi"),
+            target_domain="all", image_size=32, style_dim=16,
+            n_residual_blocks=1, batch_size=4, compute_dtype="float32",
+            use_pallas=False, style_mode="specific",
+        )
+        assert cli.main(cfg) == 0
+        for d in ("DomA", "DomB"):
+            outs = sorted(os.listdir(os.path.join(cfg.output_dir, d)))
+            assert outs == ["s0.jpg", "s1.jpg", "s2.jpg", "s3.jpg"]
+
+    def test_multi_matches_single_domain_run(self, trained_ckpt):
+        """Per-domain outputs of a multi-domain run == single-domain runs."""
+        import inference as cli
+
+        ckpt, root, tcfg = trained_ckpt
+        base = dict(
+            input_dir=tcfg.source_dir, ref_domains_dir=tcfg.target_dir,
+            checkpoint_dir=ckpt, image_size=32, style_dim=16,
+            n_residual_blocks=1, batch_size=4, compute_dtype="float32",
+            use_pallas=False, style_mode="specific",
+        )
+        assert cli.main(InferenceConfig(
+            output_dir=str(root / "out_list"), target_domain="DomA,DomB",
+            **base)) == 0
+        assert cli.main(InferenceConfig(
+            output_dir=str(root / "out_single_b"), target_domain="DomB",
+            **base)) == 0
+        a = np.asarray(Image.open(root / "out_list" / "DomB" / "s0.jpg"),
+                       dtype=np.float32)
+        b = np.asarray(Image.open(root / "out_single_b" / "s0.jpg"),
+                       dtype=np.float32)
+        assert np.mean(np.abs(a - b)) < 1.0  # identical modulo JPEG encode
+
+    def test_unknown_domain_in_list_raises(self, trained_ckpt):
+        import inference as cli
+
+        ckpt, root, tcfg = trained_ckpt
+        cfg = InferenceConfig(
+            input_dir=tcfg.source_dir, ref_domains_dir=tcfg.target_dir,
+            checkpoint_dir=ckpt, output_dir=str(root / "out_badlist"),
+            target_domain="DomA,Nope", image_size=32, style_dim=16,
+            n_residual_blocks=1, batch_size=4, compute_dtype="float32",
+            use_pallas=False,
+        )
+        with pytest.raises(ValueError):
+            cli.main(cfg)
