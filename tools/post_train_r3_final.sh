@@ -36,4 +36,5 @@ T=7200 run trajectory python tools/eval_quality_trajectory.py \
     --ckpt_root results/tomato_r3/checkpoints --extra_root /nonexistent \
     --out docs/quality/trajectory --n_images 50 --every 2
 run bench_512 python bench.py --image_size 512 --iters 10
+run train_512 python bench.py --mode train --image_size 512 --train_batch 8 --iters 5
 echo done | tee -a "$OUT/summary.txt"
