@@ -24,7 +24,7 @@ run() {
   echo "--- rc=$rc" | tee -a "$OUT/summary.txt"
 }
 
-LAST=$(ls -d results/tomato_r3/checkpoints/epoch_* | sort -t_ -k2 -n | tail -1)
+LAST=$(ls -d results/tomato_r3b/checkpoints/epoch_* | sort -t_ -k2 -n | tail -1)
 echo "final checkpoint: $LAST" | tee -a "$OUT/summary.txt"
 
 run bench_256 python bench.py
@@ -33,7 +33,7 @@ run enc1_im2col python tools/bench_enc1_im2col.py 128 30
 run quality_final python tools/eval_quality.py --checkpoint "$LAST" \
     --out docs/quality --n_images 100 --domains 0 --batch_size 32
 T=7200 run trajectory python tools/eval_quality_trajectory.py \
-    --ckpt_root results/tomato_r3/checkpoints --extra_root /nonexistent \
+    --ckpt_root results/tomato_r3b/checkpoints --extra_root /nonexistent \
     --out docs/quality/trajectory --n_images 50 --every 2
 run bench_512 python bench.py --image_size 512 --iters 10
 run train_512 python bench.py --mode train --image_size 512 --train_batch 8 --iters 5
