@@ -12,7 +12,7 @@
 # trajectory plot than a spliced resume.
 set -eu
 EPOCHS=${1:-400}
-EXP=tomato_r3
+EXP=${EXP:-tomato_r3b}
 RESUME_ARGS=()
 LAST=$(ls -d results/$EXP/checkpoints/epoch_* 2>/dev/null | sort -V | tail -1 || true)
 if [ -n "${LAST:-}" ]; then
