@@ -6,7 +6,11 @@ Accepts a checkpoint directory in either of two layouts:
      preferred, raw fallback (see msig_tpu/train/checkpoint.py);
   2. reference torch format (``checkpoint.pth`` [+ ``ema_checkpoint.pth``])
      — converted on the fly via :mod:`msig_tpu.compat.torch_import`, with
-     the same EMA preference (reference inference.py:46-72).
+     the same EMA preference (reference inference.py:46-72);
+  3. portable demo export (``ema_g_se_fp16.npz`` + ``meta.json``) — a
+     float16 EMA (G_A2B + SE_B) snapshot produced by
+     ``tools/export_demo_checkpoint.py``; small enough to version-control,
+     so a repo checkout can run inference without retraining.
 
 Returns (G_A2B params, SE_B params, meta, used_ema).
 """
@@ -21,16 +25,52 @@ import jax
 from msig_tpu.config import InferenceConfig, TrainConfig
 
 
+DEMO_NPZ = "ema_g_se_fp16.npz"
+
+
 def load_inference_params(
     checkpoint_dir: str, cfg: InferenceConfig, num_domains: int
 ) -> Tuple[Dict, Dict, Dict[str, Any], bool]:
+    if os.path.exists(os.path.join(checkpoint_dir, DEMO_NPZ)):
+        return _load_npz(checkpoint_dir, num_domains)
     if os.path.exists(os.path.join(checkpoint_dir, "meta.json")):
         return _load_native(checkpoint_dir, cfg, num_domains)
     if os.path.exists(os.path.join(checkpoint_dir, "checkpoint.pth")):
         return _load_torch(checkpoint_dir, cfg, num_domains)
     raise FileNotFoundError(
-        f"No msig_tpu (meta.json) or reference (checkpoint.pth) checkpoint in {checkpoint_dir}"
+        f"No msig_tpu (meta.json), reference (checkpoint.pth), or demo "
+        f"({DEMO_NPZ}) checkpoint in {checkpoint_dir}"
     )
+
+
+def _load_npz(checkpoint_dir, num_domains):
+    """Demo layout: '/'-joined flat keys ('gen/params/...', 'se/params/...')."""
+    import json
+
+    import numpy as np
+
+    flat = np.load(os.path.join(checkpoint_dir, DEMO_NPZ))
+    trees: Dict[str, Dict] = {"gen": {}, "se": {}}
+    for key in flat.files:
+        parts = key.split("/")
+        node = trees[parts[0]]
+        for p in parts[1:-1]:
+            node = node.setdefault(p, {})
+        # fp16 is a storage format only; inference casts to compute dtype.
+        node[parts[-1]] = flat[key].astype(np.float32)
+    meta_path = os.path.join(checkpoint_dir, "meta.json")
+    meta: Dict[str, Any] = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    saved = meta.get("num_domains")
+    if saved is not None and int(saved) != num_domains:
+        raise ValueError(
+            f"Demo checkpoint was trained with {saved} domains but the "
+            f"reference directory implies {num_domains} "
+            "(same num_domains guard as the native format)"
+        )
+    return trees["gen"], trees["se"], meta, bool(meta.get("ema", True))
 
 
 def _load_native(checkpoint_dir, cfg, num_domains):
