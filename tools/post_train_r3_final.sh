@@ -24,7 +24,7 @@ run() {
   echo "--- rc=$rc" | tee -a "$OUT/summary.txt"
 }
 
-LAST=$(ls -d results/tomato_r3b/checkpoints/epoch_* | sort -t_ -k2 -n | tail -1)
+LAST=$(ls -d results/tomato_r3b/checkpoints/epoch_* | sort -V | tail -1)
 echo "final checkpoint: $LAST" | tee -a "$OUT/summary.txt"
 
 run bench_256 python bench.py
