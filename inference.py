@@ -151,6 +151,11 @@ def main(cfg: InferenceConfig) -> int:
         targets = list(domain_dirs)
     else:
         targets = [d.strip() for d in cfg.target_domain.split(",") if d.strip()]
+    if not targets:
+        raise ValueError(
+            f"--target_domain {cfg.target_domain!r} names no domain. "
+            f"Available: {domain_dirs}"
+        )
     for t in targets:
         if t not in domain_dirs:
             raise ValueError(
@@ -267,7 +272,11 @@ def main(cfg: InferenceConfig) -> int:
                 from msig_tpu.infer.styles import STYLE_MODES
 
                 imgs, names = first
-                one = imgs[0:1]
+                # Host copy: with --data_parallel the batch is a committed
+                # mesh-sharded array and a device-side slice would carry a
+                # replicated sharding that the engine's jit in_shardings
+                # reject; a numpy array re-enters the normal staging path.
+                one = np.asarray(imgs[0:1])
                 tiles = [np.asarray(one[0], "float32") / 127.5 - 1.0]
                 labels = ["input"]
                 for mode in STYLE_MODES:

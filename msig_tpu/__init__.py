@@ -45,6 +45,13 @@ def honor_jax_platforms_env() -> None:
             pass
 
 
+# Honor the env var for EVERY entry point that imports the package (CLIs,
+# bench.py, the tools/ measurement harnesses) — before any of them touch a
+# backend. The explicit calls in main.py/inference.py remain as belt and
+# braces for import orders where jax is configured first.
+honor_jax_platforms_env()
+
+
 def enable_persistent_compile_cache(path: str | None = None) -> None:
     """Point jax at an on-disk compilation cache (big deal on this 1-core
     host: full-path compiles take minutes). The ``JAX_COMPILATION_CACHE_DIR``

@@ -65,9 +65,14 @@ def quantize_generator_params(params: Dict[str, Any], n_residual_blocks: int) ->
     for i in range(n_residual_blocks):
         q[f"res{i}_conv1_p"] = _fc.pack_weights(q[f"res{i}_conv1"])
         q[f"res{i}_conv2_p"] = _fc.pack_weights(q[f"res{i}_conv2"])
-    from msig_tpu.ops import fused_trunk_v3 as _f3
+    # Opt-in v3 single-kernel trunk: its stacked weight slab duplicates all
+    # 16 packed trunk weights (~9.4 MB HBM) — only built when the flag that
+    # selects the consumer is set (the variant measured SLOWER and ships off;
+    # docs/PERF.md "v3 single-kernel trunk").
+    if os.environ.get("MSIG_TRUNK_V3", "0") == "1":
+        from msig_tpu.ops import fused_trunk_v3 as _f3
 
-    q["trunk_w_stack"] = _f3.pack_trunk_weights(q, n_residual_blocks)
+        q["trunk_w_stack"] = _f3.pack_trunk_weights(q, n_residual_blocks)
     cu0 = q["dec_up0"].shape[2]
     cu1 = q["dec_up1"].shape[2]
     q["up0_p"] = _fc.pack_convt_weights(q["dec_up0"], cu0, q["dec_up0"].shape[3])
@@ -87,7 +92,10 @@ def quantize_generator_params(params: Dict[str, Any], n_residual_blocks: int) ->
 
         q["enc0_p"] = _fe.pack_enc0(_np.asarray(q["enc_conv0"]))
         q["enc1_p"] = _fe.pack_enc1(_np.asarray(q["enc_conv1"]))
-        q["enc1_i2c_p"] = _fe.pack_enc1_im2col(_np.asarray(q["enc_conv1"]))
+        if os.environ.get("MSIG_ENC1_IM2COL", "0") == "1":
+            # Opt-in variant; measured slower than phase-packed
+            # (docs/PERF.md "enc1 dense-K im2col").
+            q["enc1_i2c_p"] = _fe.pack_enc1_im2col(_np.asarray(q["enc_conv1"]))
         q["enc2_p"] = _fe.pack_enc2(_np.asarray(q["enc_conv2"]))
     # Final conv is NOT IN-followed: quantize with explicit per-out-channel
     # weight scales for a true dequant before tanh.
@@ -263,7 +271,7 @@ def _fused_decoder(q, hq_rows, out_dtype, w_cells: int = 64):
     y = _conv_i8(hi, q["out_kernel_i8"], 1, ((0, 0), (0, 0)))[..., :3]
     yf = y.astype(jnp.float32) * (
         q["out_wscale"][None, None, None, :3] * inv_s.reshape(b, 1, 1, 1))
-    return jnp.tanh(yf + q["out_bias"][:3]).astype(out_dtype)
+    return _to_out_dtype(jnp.tanh(yf + q["out_bias"][:3]), out_dtype)
 
 
 def quantized_generator_apply(

@@ -32,18 +32,26 @@ def _leaf_histogram(g: jax.Array, bins: int) -> Tuple[jax.Array, jax.Array, jax.
     Bin edges span the tensor's own [min, max] like np.histogram's
     auto-range (what wandb.watch produces). Degenerate all-equal tensors
     get the np.histogram convention of a +-0.5 range around the value.
+    Non-finite gradients (a diverging run — the exact case watch exists
+    for) must not poison the edges: NaN/Inf values are excluded from both
+    the range and the counts, matching wandb's own flatten-and-drop
+    behavior; an all-non-finite tensor yields zero counts around 0.
     """
     x = g.astype(jnp.float32).ravel()
-    lo = jnp.min(x)
-    hi = jnp.max(x)
+    finite = jnp.isfinite(x)
+    any_finite = jnp.any(finite)
+    lo = jnp.where(any_finite, jnp.min(jnp.where(finite, x, jnp.inf)), 0.0)
+    hi = jnp.where(any_finite, jnp.max(jnp.where(finite, x, -jnp.inf)), 0.0)
     degenerate = hi <= lo
     lo_ = jnp.where(degenerate, lo - 0.5, lo)
     hi_ = jnp.where(degenerate, hi + 0.5, hi)
     # np.histogram semantics: values == hi land in the LAST bin.
+    xf = jnp.where(finite, x, lo_)
     idx = jnp.clip(
-        ((x - lo_) * (bins / (hi_ - lo_))).astype(jnp.int32), 0, bins - 1
+        ((xf - lo_) * (bins / (hi_ - lo_))).astype(jnp.int32), 0, bins - 1
     )
-    counts = jnp.zeros((bins,), jnp.int32).at[idx].add(1)
+    counts = jnp.zeros((bins,), jnp.int32).at[idx].add(
+        finite.astype(jnp.int32))
     return counts, lo_, hi_
 
 

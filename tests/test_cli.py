@@ -113,3 +113,14 @@ def test_honor_jax_platforms_env_subprocess():
     )
     assert out.returncode == 0, out.stderr
     assert out.stdout.strip().splitlines()[-1] == "cpu"
+
+    # The bare package import must be enough (bench.py and every tools/
+    # harness rely on this; none call honor_jax_platforms_env themselves).
+    code = "import msig_tpu, jax; print(jax.default_backend())"
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        env={**__import__('os').environ, "JAX_PLATFORMS": "cpu"},
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip().splitlines()[-1] == "cpu"

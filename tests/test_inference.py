@@ -187,6 +187,32 @@ class TestInferenceCLI:
         assert cli.main(cfg) == 0
         assert len(os.listdir(cfg.output_dir)) == 4
 
+    def test_save_grid_with_data_parallel(self, trained_ckpt, tmp_path):
+        """--save_grid slices one image out of a mesh-staged batch; the
+        slice must re-enter the staging path as a host array (a committed
+        device slice carries a replicated sharding that the engine jit's
+        in_shardings reject). Regression: crashed on multi-device hosts.
+        Needs >= batch_size inputs so the FIRST batch is full and therefore
+        device-staged with the mesh sharding (partial batches stay host-side)."""
+        import shutil
+
+        import inference as cli
+
+        ckpt, root, tcfg = trained_ckpt
+        big_in = tmp_path / "grid_dp_inputs"
+        big_in.mkdir()
+        srcs = sorted(os.listdir(tcfg.source_dir))
+        for k in range(8):
+            shutil.copy(os.path.join(tcfg.source_dir, srcs[k % len(srcs)]),
+                        big_in / f"in{k}.jpg")
+        cfg = self._icfg(trained_ckpt, "out_grid_dp", save_grid=True,
+                         style_mode="specific", batch_size=8,
+                         data_parallel=True, input_dir=str(big_in))
+        assert cli.main(cfg) == 0
+        assert os.path.exists(os.path.join(cfg.output_dir,
+                                           "style_modes_grid.png"))
+        assert len(os.listdir(cfg.output_dir)) == 9  # 8 outputs + grid
+
 
 class TestLatentGuided:
     def test_latent_mode_end_to_end(self, trained_ckpt, tmp_path):
@@ -324,6 +350,22 @@ class TestMultiDomainServing:
         b = np.asarray(Image.open(root / "out_single_b" / "s0.jpg"),
                        dtype=np.float32)
         assert np.mean(np.abs(a - b)) < 1.0  # identical modulo JPEG encode
+
+    def test_empty_domain_list_raises(self, trained_ckpt):
+        """',' / whitespace parses to zero domains -> clear error, not
+        IndexError."""
+        import inference as cli
+
+        ckpt, root, tcfg = trained_ckpt
+        cfg = InferenceConfig(
+            input_dir=tcfg.source_dir, ref_domains_dir=tcfg.target_dir,
+            checkpoint_dir=ckpt, output_dir=str(root / "out_emptylist"),
+            target_domain=",", image_size=32, style_dim=16,
+            n_residual_blocks=1, batch_size=4, compute_dtype="float32",
+            use_pallas=False,
+        )
+        with pytest.raises(ValueError, match="names no domain"):
+            cli.main(cfg)
 
     def test_unknown_domain_in_list_raises(self, trained_ckpt):
         import inference as cli

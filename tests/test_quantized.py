@@ -58,6 +58,31 @@ class TestQuantizedGenerator:
         psnr = _psnr(a, b)
         assert psnr > 35.0, f"fused epilogue diverges: {psnr:.1f} dB"
 
+    def test_fused_decoder_uint8_fallback_serving_conversion(self):
+        """A uint8 request through _fused_decoder's float fallback (fused
+        tail unavailable, e.g. non-standard dec_up1/final shapes) must apply
+        the [0,255] serving conversion, not a raw astype(uint8) of the
+        [-1,1] tanh output (which produced near-black images)."""
+        from msig_tpu.infer.quantized import _fused_decoder
+        from msig_tpu.ops import fused_conv_int8_v2 as fc
+
+        gen = StyleCycleGANGenerator(style_dim=8, n_residual_blocks=1)
+        params = gen.init(jax.random.PRNGKey(3), jnp.zeros((1, 32, 32, 3)),
+                          jnp.zeros((1, 8)))
+        q = dict(quantize_generator_params(params, 1))
+        q.pop("up1_s16", None)  # force the float-structure fallback
+        rng = np.random.default_rng(5)
+        # w_cells=16 satisfies the kernels' chunk geometry (srows % chunk == 0
+        # at the default chunk_rows=16).
+        slab = fc.to_padded_rows(jnp.asarray(
+            rng.integers(-127, 128, (1, 16, 16, 256), dtype=np.int8)))
+
+        f32 = np.asarray(_fused_decoder(q, slab, jnp.float32, w_cells=16))
+        u8 = np.asarray(_fused_decoder(q, slab, jnp.uint8, w_cells=16))
+        want = np.clip(np.round((f32 + 1.0) * 127.5), 0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(u8, want)
+        assert u8.max() > 1  # not the raw-astype black image
+
     def test_jittable(self):
         gen = StyleCycleGANGenerator(style_dim=8, n_residual_blocks=1)
         rng = np.random.default_rng(2)

@@ -43,6 +43,24 @@ def test_leaf_histogram_degenerate_constant():
     assert float(lo) < 3.0 < float(hi)
 
 
+def test_leaf_histogram_nonfinite_excluded():
+    """NaN/Inf gradients (a diverging run — the case watch exists for)
+    must not poison the bin edges; they are dropped like wandb does."""
+    x = jnp.asarray([1.0, np.nan, 2.0, np.inf, 3.0, -np.inf], jnp.float32)
+    counts, lo, hi = _leaf_histogram(x, 4)
+    assert np.isfinite(float(lo)) and np.isfinite(float(hi))
+    assert float(lo) == 1.0 and float(hi) == 3.0
+    assert int(np.asarray(counts).sum()) == 3  # only the finite values
+
+    # all-non-finite: zero counts, finite degenerate range (edges buildable)
+    counts, lo, hi = _leaf_histogram(jnp.full((5,), np.nan), 4)
+    assert np.isfinite(float(lo)) and np.isfinite(float(hi))
+    assert float(hi) > float(lo)
+    assert int(np.asarray(counts).sum()) == 0
+    edges = np.linspace(float(lo), float(hi), 5)
+    assert np.all(np.isfinite(edges))
+
+
 @pytest.fixture(scope="module")
 def setup():
     cfg = TrainConfig(image_size=SIZE, batch_size=BATCH, style_dim=SDIM,

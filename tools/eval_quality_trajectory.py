@@ -102,12 +102,13 @@ def main():
 
     fig, axes = plt.subplots(1, 2, figsize=(13, 5))
     for d in domains:
-        ys = [rows[e][d]["proxy_fid_generated_vs_ref"]
-              for e in epochs if d in rows[e]]
-        axes[0].plot(epochs[: len(ys)], ys, alpha=0.4, lw=1)
-        cs = [rows[e][d]["color_frechet_generated_vs_ref"]
-              for e in epochs if d in rows[e]]
-        axes[1].plot(epochs[: len(cs)], cs, alpha=0.4, lw=1)
+        # x and y filtered TOGETHER: a domain missing from a middle epoch
+        # must drop that epoch's x too, not shift later points left.
+        xs = [e for e in epochs if d in rows[e]]
+        axes[0].plot(xs, [rows[e][d]["proxy_fid_generated_vs_ref"]
+                          for e in xs], alpha=0.4, lw=1)
+        axes[1].plot(xs, [rows[e][d]["color_frechet_generated_vs_ref"]
+                          for e in xs], alpha=0.4, lw=1)
     mean_fid = [np.mean([rows[e][d]["proxy_fid_generated_vs_ref"]
                          for d in domains if d in rows[e]]) for e in epochs]
     base_fid = [np.mean([rows[e][d]["proxy_fid_source_vs_ref"]
