@@ -351,6 +351,13 @@ def main():
     batch_sizes = (128, 256) if args.image_size <= 256 else (16, 32)
     rate, bs = bench_inference(batch_sizes=batch_sizes, iters=args.iters,
                                image_size=args.image_size)
+    if not bs:
+        # Per-config failures are survivable (the sweep continues), but if
+        # EVERY config failed there is no measurement — exit loudly instead
+        # of printing a syntactically-valid 0.0 headline with rc=0.
+        print("bench: every (mode, batch) config failed — no measurement",
+              file=sys.stderr)
+        sys.exit(1)
     print(f"  best: batch {bs}", file=sys.stderr)
     print(json.dumps({
         "metric": f"img_per_s_{size_tag}_ref_guided_inference",

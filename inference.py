@@ -265,7 +265,9 @@ def main(cfg: InferenceConfig) -> int:
         # input. (The reference parses this flag but never implements it,
         # reference inference.py:352-353 — here it works.)
         if cfg.save_grid and bank is not None:
-            first = next(engine.iter_input_batches(cfg.input_dir), None)
+            grid_it = engine.iter_input_batches(cfg.input_dir)
+            first = next(grid_it, None)
+            grid_it.close()  # stop the producer thread (only 1 batch needed)
             if first is not None:
                 import numpy as np
 
@@ -293,7 +295,19 @@ def main(cfg: InferenceConfig) -> int:
                                  domain_names=labels)
                 say(f"Saved style-mode comparison grid to {grid_path}")
 
-        batches = serving.iter_input_batches(cfg.input_dir)
+        # Multi-domain: decode the input set ONCE and replay the host-side
+        # cache for the remaining domains (translate only swaps the style
+        # bank; N decode passes on a single-core host would dominate e2e).
+        # The cache is only kept when the whole set fits under a size cap.
+        if decode_cache is not None and decode_cache.get("ready"):
+            batches = serving.iter_host_batches(decode_cache["batches"])
+        elif decode_cache is not None:
+            decode_cache["batches"] = []
+            batches = serving.iter_input_batches(
+                cfg.input_dir, host_tee=decode_cache["batches"]
+            )
+        else:
+            batches = serving.iter_input_batches(cfg.input_dir)
         say(f"[{domain}] Processing images with style mode: {cfg.style_mode}")
 
         def _save(img, name):
@@ -324,9 +338,23 @@ def main(cfg: InferenceConfig) -> int:
                 # Bound the in-flight queue (translated uint8 images).
                 _drain(4 * serving.batch_size)
             _drain(0)
+        if decode_cache is not None and not decode_cache.get("ready"):
+            decode_cache["ready"] = True  # first pass completed the full set
         return 0
 
     multi = len(targets) > 1
+    decode_cache = None
+    if multi:
+        from msig_tpu.data import list_image_files as _lif
+
+        n_inputs = len(_lif(cfg.input_dir))
+        est_bytes = n_inputs * cfg.image_size * cfg.image_size * 3
+        cap = int(os.environ.get("MSIG_DECODE_CACHE_MB", "2048")) * (1 << 20)
+        if est_bytes <= cap:
+            decode_cache = {"ready": False, "batches": []}
+        else:
+            say(f"Decode cache disabled ({est_bytes >> 20} MB uint8 exceeds "
+                f"MSIG_DECODE_CACHE_MB={cap >> 20}); re-decoding per domain")
     for t in targets:
         rc = run_domain(t, os.path.join(cfg.output_dir, t) if multi else cfg.output_dir)
         if rc:

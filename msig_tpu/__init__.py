@@ -41,8 +41,17 @@ def honor_jax_platforms_env() -> None:
             import jax
 
             jax.config.update("jax_platforms", p)
-        except Exception:  # unknown platform name: leave jax's default
-            pass
+        except Exception as e:
+            # Do NOT silently ignore: this function exists precisely so a
+            # JAX_PLATFORMS=cpu run cannot sneak onto the tunneled TPU.
+            import warnings
+
+            warnings.warn(
+                f"JAX_PLATFORMS={p!r} could not be applied ({e}); this "
+                "process may run on a different backend than requested",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
 
 # Honor the env var for EVERY entry point that imports the package (CLIs,

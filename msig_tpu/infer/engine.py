@@ -307,13 +307,26 @@ class InferenceEngine:
             yield np.asarray(out)[:n], names
 
     def iter_input_batches(
-        self, input_dir: str, prefetch: int = 2
+        self,
+        input_dir: str,
+        prefetch: int = 2,
+        host_tee: Optional[List[Tuple[np.ndarray, List[str]]]] = None,
     ) -> Iterator[Tuple[np.ndarray, List[str]]]:
         """Decode input images in a thread pool, yielding fixed-size batches.
 
         A producer thread decodes ``prefetch`` batches ahead (same pattern as
         ``TrainLoader.epoch``) so JPEG decode overlaps device compute instead
         of running synchronously between generation steps.
+
+        Closing the generator early (``gen.close()`` or GC after a partial
+        iteration) stops the producer thread — it does not stay blocked on
+        the queue for process lifetime.
+
+        ``host_tee``: optional list the producer appends each decoded HOST
+        batch ``(uint8 array, names)`` to before the device upload — lets a
+        multi-domain caller decode the input set once and replay it with
+        :meth:`iter_host_batches` (the decode pass dominates e2e on
+        single-core hosts).
         """
         files = list_image_files(input_dir)
         if not files:
@@ -340,11 +353,24 @@ class InferenceEngine:
 
         q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
         _END = object()
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            """Blocking put that aborts if the consumer went away."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 with ThreadPoolExecutor(4) as pool:
                     for i in range(0, len(files), self.batch_size):
+                        if stop.is_set():
+                            return
                         chunk = files[i : i + self.batch_size]
                         loaded = list(pool.map(safe_load, chunk))
                         kept = [
@@ -355,6 +381,9 @@ class InferenceEngine:
                         if not kept:
                             continue
                         arr = np.stack([a for a, _ in kept])
+                        names = [n for _, n in kept]
+                        if host_tee is not None:
+                            host_tee.append((arr, names))
                         # device_put here so the host->device copy overlaps
                         # the previous batch's compute (it dominates e2e on
                         # bandwidth-limited hosts).
@@ -362,15 +391,47 @@ class InferenceEngine:
                             dev = jax.device_put(arr, full_sharding)
                         else:
                             dev = jax.device_put(arr)
-                        q.put((dev, [n for _, n in kept]))
+                        if not _put((dev, names)):
+                            return
             finally:
-                q.put(_END)
+                try:
+                    q.put_nowait(_END)
+                except queue.Full:
+                    pass  # consumer is gone and will not read it anyway
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                yield item
+        finally:
+            stop.set()
+            while True:  # unblock a producer stuck on a full queue
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=30)
+
+    def iter_host_batches(
+        self, cached: List[Tuple[np.ndarray, List[str]]]
+    ) -> Iterator[Tuple[np.ndarray, List[str]]]:
+        """Replay a ``host_tee`` decode cache as device-staged batches.
+
+        Same staging policy as the live producer: full batches go straight
+        into the serving-mesh batch sharding (no per-batch reshard copy);
+        partial batches stay host-side for translate_batches to pad.
+        """
+        full_sharding = None
+        if self.mesh is not None:
+            from msig_tpu.parallel.mesh import batch_sharding
+
+            full_sharding = batch_sharding(self.mesh)
+        for arr, names in cached:
+            if full_sharding is not None and arr.shape[0] == self.batch_size:
+                yield jax.device_put(arr, full_sharding), names
+            else:
+                yield jax.device_put(arr), names

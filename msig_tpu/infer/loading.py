@@ -31,14 +31,25 @@ DEMO_NPZ = "ema_g_se_fp16.npz"
 def load_inference_params(
     checkpoint_dir: str, cfg: InferenceConfig, num_domains: int
 ) -> Tuple[Dict, Dict, Dict[str, Any], bool]:
-    if os.path.exists(os.path.join(checkpoint_dir, DEMO_NPZ)):
-        return _load_npz(checkpoint_dir, num_domains)
-    if os.path.exists(os.path.join(checkpoint_dir, "meta.json")):
+    # Priority: a full native checkpoint (meta.json + Orbax state/) beats a
+    # portable fp16 demo npz living in the same directory — the demo export
+    # is a lossy derivative and must never silently shadow the full weights.
+    import logging
+
+    logger = logging.getLogger(__name__)
+    if os.path.exists(os.path.join(checkpoint_dir, "meta.json")) and os.path.isdir(
+        os.path.join(checkpoint_dir, "state")
+    ):
+        logger.info("Loading native (Orbax) checkpoint from %s", checkpoint_dir)
         return _load_native(checkpoint_dir, cfg, num_domains)
+    if os.path.exists(os.path.join(checkpoint_dir, DEMO_NPZ)):
+        logger.info("Loading fp16 demo checkpoint (%s) from %s", DEMO_NPZ, checkpoint_dir)
+        return _load_npz(checkpoint_dir, num_domains)
     if os.path.exists(os.path.join(checkpoint_dir, "checkpoint.pth")):
+        logger.info("Loading reference torch checkpoint from %s", checkpoint_dir)
         return _load_torch(checkpoint_dir, cfg, num_domains)
     raise FileNotFoundError(
-        f"No msig_tpu (meta.json), reference (checkpoint.pth), or demo "
+        f"No msig_tpu (meta.json + state/), reference (checkpoint.pth), or demo "
         f"({DEMO_NPZ}) checkpoint in {checkpoint_dir}"
     )
 

@@ -289,18 +289,25 @@ class Trainer:
                 self.state, metrics = step_fn(
                     self.state, batch, self.vgg_params, g_lr, d_lr, w_vec
                 )
-                if watching:
-                    from msig_tpu.train.watch import to_wandb
-
-                    hists = jax.device_get(metrics.pop("_grad_hists"))
-                    self.wandb.log(to_wandb(hists))
+                hists = (
+                    jax.device_get(metrics.pop("_grad_hists")) if watching else None
+                )
                 epoch_metrics.append(metrics)
                 # weight history is per-step, like the reference (trainer.py:122)
                 for k in WEIGHT_KEYS:
                     self.weight_history[k].append(weights[k])
                 if self.wandb is not None:
                     vals = jax.device_get(metrics)
-                    self.wandb.log({f"loss/{k}": float(v) for k, v in vals.items()})
+                    logs = {f"loss/{k}": float(v) for k, v in vals.items()}
+                    if hists is not None:
+                        # Same wandb.log call as the step's losses so the
+                        # histograms share the step axis (wandb.watch attaches
+                        # to the same log step; a separate log() call would
+                        # shift every later metric by one step).
+                        from msig_tpu.train.watch import to_wandb
+
+                        logs.update(to_wandb(hists))
+                    self.wandb.log(logs)
                 if i % cfg.save_freq == 0:
                     self._save_grid(batch, epoch, i)
 

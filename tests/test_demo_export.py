@@ -104,3 +104,58 @@ def test_demo_dir_generates(torch_dir, tmp_path):  # noqa: F811
     out_imgs = fn(eng.gen_params, jnp.asarray(imgs), jnp.asarray(styles))
     assert np.asarray(out_imgs).shape == (2, 32, 32, 3)
     assert np.isfinite(np.asarray(out_imgs, dtype=np.float32)).all()
+
+
+def test_native_checkpoint_beats_demo_npz(tmp_path):
+    """A full native checkpoint (meta.json + Orbax state/) in the same
+    directory as a demo npz must win: the fp16 demo is a lossy derivative
+    and must never silently shadow the full weights (e.g. after exporting
+    with --out pointed at the checkpoint dir itself)."""
+    from PIL import Image
+
+    from msig_tpu.config import InferenceConfig, TrainConfig
+    from msig_tpu.data.dataset import MultiDomainDataset
+    from msig_tpu.infer.loading import load_inference_params
+    from msig_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(1)
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (36, 36, 3), dtype=np.uint8)
+                        ).save(src / f"s{i}.jpg")
+    ref = tmp_path / "ref"
+    (ref / "DomA").mkdir(parents=True)
+    Image.fromarray(rng.integers(0, 255, (36, 36, 3), dtype=np.uint8)
+                    ).save(ref / "DomA" / "r0.jpg")
+    tcfg = TrainConfig(
+        source_dir=str(src), target_dir=str(ref),
+        save_dir_base=str(tmp_path / "results"), exp_name="t", epochs=1,
+        image_size=32, batch_size=2, save_freq=10, style_dim=16,
+        n_residual_blocks=1, checkpoint_every=1, use_pallas=False,
+    )
+    Trainer(tcfg, MultiDomainDataset.build(tcfg.source_dir, tcfg.target_dir)).train(0)
+    ckpt = os.path.join(tcfg.save_dir_base, "t", "checkpoints", "epoch_1")
+
+    cfg = InferenceConfig(style_dim=16, n_residual_blocks=1, image_size=32)
+    gen_native, _, _, _ = load_inference_params(ckpt, cfg, 2)
+
+    # Export the demo npz INTO the checkpoint dir (meta.json overwritten by
+    # the export's own meta — still a valid native dir: state/ is intact).
+    res = subprocess.run(
+        [sys.executable, "tools/export_demo_checkpoint.py",
+         "--checkpoint", ckpt, "--out", ckpt,
+         "--num_domains", "2", "--style_dim", "16",
+         "--n_residual_blocks", "1", "--image_size", "32"],
+        capture_output=True, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        cwd=os.path.dirname(os.path.dirname(__file__)), timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert os.path.exists(os.path.join(ckpt, "ema_g_se_fp16.npz"))
+
+    gen_again, _, _, _ = load_inference_params(ckpt, cfg, 2)
+    f0 = {"/".join(p): np.asarray(v) for p, v in _flat(gen_native)}
+    f1 = {"/".join(p): np.asarray(v) for p, v in _flat(gen_again)}
+    # Native full-precision weights, NOT the fp16 round trip: exact match.
+    for k in f0:
+        np.testing.assert_array_equal(f0[k], f1[k])

@@ -380,3 +380,55 @@ class TestMultiDomainServing:
         )
         with pytest.raises(ValueError):
             cli.main(cfg)
+
+
+class TestInputIterator:
+    """iter_input_batches lifecycle: early close stops the producer thread;
+    host_tee + iter_host_batches replay the decode exactly once."""
+
+    def _bare_engine(self, batch_size=2, image_size=32):
+        # iter_input_batches touches only image_size/batch_size/mesh.
+        return InferenceEngine(
+            generator=None, style_encoder=None, gen_params={}, se_params={},
+            image_size=image_size, batch_size=batch_size,
+        )
+
+    def _inputs(self, tmp_path, n=7):
+        rng = np.random.default_rng(3)
+        d = tmp_path / "it_in"
+        d.mkdir()
+        for i in range(n):
+            Image.fromarray(
+                rng.integers(0, 255, (36, 36, 3), dtype=np.uint8)
+            ).save(d / f"i{i}.png")
+        return str(d)
+
+    def test_early_close_stops_producer(self, tmp_path):
+        import threading
+        import time
+
+        eng = self._bare_engine(batch_size=1)  # 7 batches, queue maxsize 2
+        before = set(threading.enumerate())
+        it = eng.iter_input_batches(self._inputs(tmp_path))
+        assert next(it, None) is not None
+        it.close()  # abandon after 1 of 7 batches
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline:
+            leaked = [t for t in set(threading.enumerate()) - before if t.is_alive()]
+            if not leaked:
+                break
+            time.sleep(0.05)
+        assert not leaked, f"producer/pool threads leaked: {leaked}"
+
+    def test_host_tee_and_replay(self, tmp_path):
+        eng = self._bare_engine(batch_size=3)
+        src = self._inputs(tmp_path)  # 7 imgs -> batches of 3, 3, 1
+        tee = []
+        live = [(np.asarray(a), n) for a, n in
+                eng.iter_input_batches(src, host_tee=tee)]
+        assert [len(n) for _, n in live] == [3, 3, 1]
+        assert len(tee) == len(live)
+        replay = [(np.asarray(a), n) for a, n in eng.iter_host_batches(tee)]
+        for (a0, n0), (a1, n1) in zip(live, replay):
+            assert n0 == n1
+            np.testing.assert_array_equal(a0, a1)

@@ -184,9 +184,13 @@ def test_trainer_watch_path(tmp_path, monkeypatch):
     assert hist_logs, "watch steps must log gradient histograms"
     n_tensors = len(jax.tree_util.tree_leaves(trainer.state.gen_params)) + len(
         jax.tree_util.tree_leaves(trainer.state.disc_params))
-    assert len(hist_logs[0]) == n_tensors
-    assert all(isinstance(v, FakeHistogram) for v in hist_logs[0].values())
-    # watch metrics must not leak into the per-step loss logging
+    hist_keys = [k for k in hist_logs[0] if k.startswith("gradients/")]
+    assert len(hist_keys) == n_tensors
+    assert all(isinstance(hist_logs[0][k], FakeHistogram) for k in hist_keys)
+    # Histograms ride the SAME wandb.log call as the step's losses so they
+    # share the step axis (a separate log() call would shift every later
+    # metric by one auto-incremented wandb step).
+    assert "loss/G_loss" in hist_logs[0]
     loss_logs = [d for d in logged if "loss/G_loss" in d]
     assert loss_logs and all("_grad_hists" not in d for d in loss_logs)
 

@@ -38,7 +38,7 @@ run psnr python tools/check_psnr_tpu.py
 run enc1_im2col python tools/bench_enc1_im2col.py 128 30
 
 # Per-epoch log extraction + seeded-reproducibility check
-grep -o "epoch [0-9]*/400.*" results/logs/r4_train.log > "$OUT/per_epoch_log_r4.txt"
+grep -o "epoch [0-9]*/[0-9]*.*" results/logs/r4_train.log > "$OUT/per_epoch_log_r4.txt"
 diff <(sed 's/ *[0-9.]*s ([0-9.]* ms\/step) *//' "$OUT/per_epoch_log_r4.txt") \
      <(sed 's/ *[0-9.]*s ([0-9.]* ms\/step) *//' results/tomato_r3b/per_epoch_log.txt) \
      > "$OUT/per_epoch_repro.diff"; echo "repro diff lines: $(wc -l < "$OUT/per_epoch_repro.diff")" | tee -a "$OUT/summary.txt"
