@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--ref_dir", default="/root/reference/data/ref")
     ap.add_argument("--every", type=int, default=1,
                     help="evaluate every Nth checkpoint")
+    ap.add_argument("--eval_timeout", type=int, default=1800,
+                    help="seconds per checkpoint eval before it is killed "
+                         "and retried once (a wedged remote-TPU RPC "
+                         "otherwise stalls the whole batch)")
     args = ap.parse_args()
 
     ckpts = []
@@ -59,15 +63,28 @@ def main():
         dst = os.path.join(args.out, f"epoch_{epoch}")
         qj = os.path.join(dst, "quality.json")
         if not os.path.exists(qj):
-            rc = subprocess.call([
+            cmd = [
                 sys.executable, "tools/eval_quality.py",
                 "--checkpoint", path, "--out", dst,
                 "--source_dir", args.source_dir, "--ref_dir", args.ref_dir,
                 "--n_images", str(args.n_images), "--domains", "0",
                 "--samples", "0",
-            ])
+            ]
+            rc = None
+            for attempt in (1, 2):
+                try:
+                    rc = subprocess.call(cmd, timeout=args.eval_timeout)
+                except subprocess.TimeoutExpired:
+                    print(f"epoch {epoch}: eval timed out after "
+                          f"{args.eval_timeout}s (attempt {attempt})",
+                          flush=True)
+                    rc = None
+                    continue
+                if rc == 0:
+                    break
+                print(f"epoch {epoch}: eval failed rc={rc} "
+                      f"(attempt {attempt})", flush=True)
             if rc != 0:
-                print(f"epoch {epoch}: eval failed rc={rc}", flush=True)
                 continue
         with open(qj) as f:
             rows[epoch] = json.load(f)
