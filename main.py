@@ -88,6 +88,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="With --wandb: log per-tensor gradient histograms "
                              "every N steps (wandb.watch equivalent; reference "
                              "uses 50). 0 disables.")
+    parser.add_argument("--checkpoint_every", type=int,
+                        default=default_config.CHECKPOINT_EVERY_EPOCHS,
+                        help="Write a full train-state checkpoint every N epochs "
+                             "(default %(default)s, the reference's hard-coded "
+                             "cadence at trainer.py:355). On remote/tunneled "
+                             "runtimes each write fetches the full state "
+                             "device->host, so long runs may want a sparser "
+                             "cadence. The final epoch always checkpoints.")
     return parser
 
 
@@ -122,6 +130,7 @@ def config_from_args(args) -> TrainConfig:
         diversity_weight=args.diversity_weight,
         allow_random_vgg=args.allow_random_vgg,
         watch_freq=args.watch_freq,
+        checkpoint_every=args.checkpoint_every,
     )
 
 

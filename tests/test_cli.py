@@ -24,6 +24,14 @@ class TestTrainCLI:
         assert args.use_ema is True
         assert args.wandb is False
 
+    def test_checkpoint_every_flag(self):
+        """Default stays the reference's hard-coded 10-epoch cadence
+        (reference trainer.py:355); the flag overrides it for long runs."""
+        args = train_cli.build_arg_parser().parse_args([])
+        assert train_cli.config_from_args(args).checkpoint_every == 10
+        args = train_cli.build_arg_parser().parse_args(["--checkpoint_every", "50"])
+        assert train_cli.config_from_args(args).checkpoint_every == 50
+
     def test_loss_weights_json_flag(self):
         args = train_cli.build_arg_parser().parse_args(
             ["--loss_weights", '{"gan": 2.0, "cycle": 1.0}']
