@@ -314,6 +314,9 @@ def main():
                     help="map size for inference/train modes (512 = BASELINE "
                          "config 5; smaller batches are auto-selected)")
     ap.add_argument("--train_batch", type=int, default=32)
+    ap.add_argument("--batches", type=str, default="",
+                    help="comma list of inference batch sizes to sweep "
+                         "(default: 128,256 at <=256^2, 16,32 at 512^2)")
     args = ap.parse_args()
     size_tag = str(args.image_size)
 
@@ -348,7 +351,10 @@ def main():
         }))
         return
 
-    batch_sizes = (128, 256) if args.image_size <= 256 else (16, 32)
+    if args.batches:
+        batch_sizes = tuple(int(b) for b in args.batches.split(","))
+    else:
+        batch_sizes = (128, 256) if args.image_size <= 256 else (16, 32)
     rate, bs = bench_inference(batch_sizes=batch_sizes, iters=args.iters,
                                image_size=args.image_size)
     if not bs:
