@@ -76,7 +76,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--quantize", type=str, default=None, choices=["int8"],
                         help="Quantized generator for serving (~39 dB PSNR vs bf16)")
     parser.add_argument("--seed", type=int, default=0)
-    parser.add_argument("--no_pallas", action="store_true")
+    parser.add_argument("--pallas", dest="pallas", action="store_true", default=None,
+                        help="Force the fused Pallas AdaIN kernel ON (default: "
+                             "config.USE_PALLAS_ADAIN)")
+    parser.add_argument("--no_pallas", dest="pallas", action="store_false")
     parser.add_argument("--data_parallel", action="store_true",
                         help="Shard the serving batch over all local chips "
                              "(no-op on a single device)")
@@ -100,7 +103,7 @@ def config_from_args(args) -> InferenceConfig:
         batch_size=args.batch_size,
         compute_dtype=args.compute_dtype,
         seed=args.seed,
-        use_pallas=not args.no_pallas,
+        use_pallas=(default_config.USE_PALLAS_ADAIN if args.pallas is None else args.pallas),
         mapping_params=args.mapping_params,
         latent_dim=args.latent_dim,
         quantize=args.quantize,

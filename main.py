@@ -66,8 +66,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--no_data_parallel", action="store_true",
                         help="Disable sharding the batch over local devices")
-    parser.add_argument("--no_pallas", action="store_true",
-                        help="Disable the fused Pallas AdaIN kernel (use pure XLA)")
+    parser.add_argument("--pallas", dest="pallas", action="store_true", default=None,
+                        help="Force the fused Pallas AdaIN kernel ON (default: the "
+                             "measured config default, config.USE_PALLAS_ADAIN)")
+    parser.add_argument("--no_pallas", dest="pallas", action="store_false",
+                        help="Force the fused Pallas AdaIN kernel OFF (use pure XLA)")
     parser.add_argument("--profile_steps", type=int, default=0,
                         help="Trace N training steps with jax.profiler, then exit")
     parser.add_argument("--r1_gamma", type=float, default=0.0,
@@ -120,7 +123,7 @@ def config_from_args(args) -> TrainConfig:
         vgg_weights_path=args.vgg_weights,
         seed=args.seed,
         data_parallel=not args.no_data_parallel,
-        use_pallas=not args.no_pallas,
+        use_pallas=(default_config.USE_PALLAS_ADAIN if args.pallas is None else args.pallas),
         profile_steps=args.profile_steps,
         r1_gamma=args.r1_gamma,
         remat=args.remat,

@@ -179,6 +179,20 @@ class TrainLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            # Bounded put that observes `stop`: a consumer that abandons the
+            # iterator mid-epoch (profile_steps takes n+1 batches; any
+            # exception in the train loop) would otherwise leave this thread
+            # blocked in q.put() forever, pinning up to `prefetch`
+            # device-resident batches in HBM for the process lifetime.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 with ThreadPoolExecutor(self.num_threads) as pool:
@@ -190,12 +204,13 @@ class TrainLoader:
                         )
                         if self.device_put is not None:
                             batch = self.device_put(batch)
-                        q.put(batch)
-                q.put(None)
+                        if not _put(batch):
+                            return
+                _put(None)
             except BaseException as e:  # propagate instead of hanging the consumer
-                q.put(e)
+                _put(e)
 
-        t = threading.Thread(target=producer, daemon=True)
+        t = threading.Thread(target=producer, daemon=True, name="msig-train-prefetch")
         t.start()
         try:
             while True:
@@ -211,3 +226,8 @@ class TrainLoader:
                 yield batch
         finally:
             stop.set()
+            while True:  # release a producer mid-put and drop HBM references
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break

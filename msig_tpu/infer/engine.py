@@ -394,12 +394,14 @@ class InferenceEngine:
                         if not _put((dev, names)):
                             return
             finally:
-                try:
-                    q.put_nowait(_END)
-                except queue.Full:
-                    pass  # consumer is gone and will not read it anyway
+                # Block-put the sentinel: put_nowait could hit queue.Full
+                # with a LIVE consumer that is merely slower than decode
+                # (the exact case prefetch exists for), leaving it waiting
+                # on q.get() forever. _put drains on stop, so this can't
+                # hang when the consumer is actually gone.
+                _put(_END)
 
-        t = threading.Thread(target=producer, daemon=True)
+        t = threading.Thread(target=producer, daemon=True, name="msig-infer-prefetch")
         t.start()
         try:
             while True:

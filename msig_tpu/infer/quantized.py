@@ -73,10 +73,12 @@ def quantize_generator_params(params: Dict[str, Any], n_residual_blocks: int) ->
         from msig_tpu.ops import fused_trunk_v3 as _f3
 
         q["trunk_w_stack"] = _f3.pack_trunk_weights(q, n_residual_blocks)
+    # NOTE: the v1 packed ConvT weights (pack_convt_weights -> "up0_p"/
+    # "up1_p") are NOT built here — the shipping decoder reads only the
+    # phase-split "up0_ps"/"up1_ps"; measurement tools that exercise the v1
+    # kernels pack locally (tools/profile_fused_stages.py).
     cu0 = q["dec_up0"].shape[2]
     cu1 = q["dec_up1"].shape[2]
-    q["up0_p"] = _fc.pack_convt_weights(q["dec_up0"], cu0, q["dec_up0"].shape[3])
-    q["up1_p"] = _fc.pack_convt_weights(q["dec_up1"], cu1, q["dec_up1"].shape[3])
     from msig_tpu.ops import fused_conv_int8_v2 as _f2
 
     q["up0_ps"], _ = _f2.pack_convt_weights_ps(

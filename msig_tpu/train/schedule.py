@@ -30,7 +30,9 @@ def cosine_lr(base_lr: float, epoch: int, total_epochs: int, eta_min: float = 1e
 
 
 def loss_weight_factor(epoch: int, warmup_epochs: int = 10, decay_epochs: int = 100) -> float:
-    warmup = min(1.0, (epoch + 1) / warmup_epochs)
+    # warmup_epochs=0 disables warmup (factor 1 from epoch 0) instead of
+    # dividing by zero; the reference hardcodes 10 (utils.py:110-134).
+    warmup = min(1.0, (epoch + 1) / warmup_epochs) if warmup_epochs > 0 else 1.0
     decay = 1.0
     if epoch >= warmup_epochs:
         progress = min(1.0, (epoch - warmup_epochs) / decay_epochs)

@@ -59,6 +59,7 @@ def make_train_step(
     vgg_pair: bool | str | None = None,  # True = 1x4B pair, "2x2" = 2x2B
     gram_dtype=jnp.float32,
     grad_hists: int = 0,
+    n_devices: int = 1,
 ):
     """Build the fused step. Returns fn(state, batch, vgg_params, g_lr, d_lr, w).
 
@@ -115,8 +116,13 @@ def make_train_step(
         # the batched 2B generator forwards and the single-4B VGG forward
         # win at small batches but raise peak HBM liveness; at batch 32,
         # 256^2 the 4B VGG exceeds single-chip HBM (measured, docs/PERF.md).
-        _bf = batch_forwards if batch_forwards is not None else bsz <= 16
-        _vp = vgg_pair if vgg_pair is not None else bsz <= 16
+        # The HBM-liveness constraint is PER CHIP: under a data-parallel
+        # mesh the global batch is sharded, so the structure choice keys
+        # off the per-device shard size (``n_devices`` from the trainer's
+        # mesh), not the global batch.
+        shard = bsz // max(1, n_devices)
+        _bf = batch_forwards if batch_forwards is not None else shard <= 16
+        _vp = vgg_pair if vgg_pair is not None else shard <= 16
         y_org = batch["source_domain"].astype(jnp.int32)
         y_trg = batch["target_domain"].astype(jnp.int32)
         disc_params = state.disc_params

@@ -78,6 +78,7 @@ class Trainer:
             self.state = replicate(self.mesh, self.state)
             self.vgg_params = replicate(self.mesh, self.vgg_params)
         tx_g, tx_d = make_optimizers(cfg)
+        n_dev = len(self.mesh.devices.ravel()) if self.mesh is not None else 1
         self.train_step = jit_train_step(
             make_train_step(
                 self.models, tx_g, tx_d, cfg.ema_beta, dtype,
@@ -85,6 +86,7 @@ class Trainer:
                 remat=getattr(cfg, "remat", False),
                 style_recon_weight=getattr(cfg, "style_recon_weight", 0.0),
                 diversity_weight=getattr(cfg, "diversity_weight", 0.0),
+                n_devices=n_dev,
             ),
             self.mesh,
         )
@@ -104,6 +106,7 @@ class Trainer:
                     style_recon_weight=getattr(cfg, "style_recon_weight", 0.0),
                     diversity_weight=getattr(cfg, "diversity_weight", 0.0),
                     grad_hists=64,
+                    n_devices=n_dev,
                 ),
                 self.mesh,
             )
@@ -171,9 +174,11 @@ class Trainer:
         first = {k: np.asarray(jax.device_get(v))[0:1] for k, v in batch.items()}
         real_A = prepare_images(jnp.asarray(first["source"]))
         real_B = prepare_images(jnp.asarray(first["target"]))
-        ema = jax.device_get(self.state.ema_params)
+        # Pass the DEVICE-resident EMA tree straight into the jitted eval fn
+        # (it does not donate); a device_get here would download + re-upload
+        # ~100 MB of parameters per grid — tens of seconds on tunneled links.
         grid = self._eval_fn(
-            ema,
+            self.state.ema_params,
             real_A,
             real_B,
             jnp.asarray(first["source_domain"]),

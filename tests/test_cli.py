@@ -32,6 +32,19 @@ class TestTrainCLI:
         args = train_cli.build_arg_parser().parse_args(["--checkpoint_every", "50"])
         assert train_cli.config_from_args(args).checkpoint_every == 50
 
+    def test_pallas_flag_tri_state(self):
+        """Default must follow the measured config default
+        (config.USE_PALLAS_ADAIN=False — the XLA path is faster on v5e);
+        --pallas / --no_pallas force either way. Regression: the old
+        `not args.no_pallas` polarity silently enabled the slower kernel
+        on every stock run."""
+        args = train_cli.build_arg_parser().parse_args([])
+        assert train_cli.config_from_args(args).use_pallas is False
+        args = train_cli.build_arg_parser().parse_args(["--pallas"])
+        assert train_cli.config_from_args(args).use_pallas is True
+        args = train_cli.build_arg_parser().parse_args(["--no_pallas"])
+        assert train_cli.config_from_args(args).use_pallas is False
+
     def test_loss_weights_json_flag(self):
         args = train_cli.build_arg_parser().parse_args(
             ["--loss_weights", '{"gan": 2.0, "cycle": 1.0}']

@@ -156,6 +156,33 @@ class TestTrainLoader:
             # batch_size == dataset length, so the corrupt file is hit
             list(loader.epoch(0))
 
+    def test_abandoned_epoch_releases_producer_thread(self, tree):
+        """A consumer that stops mid-epoch (profile_steps, an exception in
+        the train loop) must not leave the prefetch thread blocked in
+        q.put() holding batch references for process lifetime."""
+        import gc
+        import threading
+        import time
+
+        src, ref = tree
+        ds = MultiDomainDataset.build(src, ref)
+        # prefetch=1 so the producer is certainly blocked mid-put when the
+        # consumer walks away after one batch (5 steps per epoch at bs=1).
+        loader = TrainLoader(ds, batch_size=1, image_size=16, seed=0,
+                             num_threads=1, prefetch=1)
+        it = loader.epoch(0)
+        next(it)
+        it.close()  # runs the generator's finally: stop + drain
+        del it
+        gc.collect()
+        deadline = time.time() + 5.0
+        while time.time() < deadline:
+            if not any(t.name == "msig-train-prefetch" and t.is_alive()
+                       for t in threading.enumerate()):
+                return
+            time.sleep(0.05)
+        raise AssertionError("msig-train-prefetch thread still alive 5s after abandonment")
+
 
 def ds_len_min(ds):
     return len(ds)

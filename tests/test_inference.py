@@ -420,6 +420,28 @@ class TestInputIterator:
             time.sleep(0.05)
         assert not leaked, f"producer/pool threads leaked: {leaked}"
 
+    def test_slow_consumer_receives_all_batches_and_terminates(self, tmp_path):
+        """Consumer slower than decode (the case prefetch exists for): the
+        producer finishes while the queue is FULL. The end-of-input sentinel
+        must still arrive — a put_nowait there drops it and the consumer
+        blocks on q.get() forever (regression test)."""
+        import threading
+        import time
+
+        eng = self._bare_engine(batch_size=1)
+        got, done = [], threading.Event()
+
+        def consume():
+            for _, names in eng.iter_input_batches(self._inputs(tmp_path), prefetch=1):
+                got.extend(names)
+                time.sleep(0.25)  # let the producer run ahead and finish
+            done.set()
+
+        t = threading.Thread(target=consume, daemon=True)
+        t.start()
+        assert done.wait(30), "consumer hung waiting for the end sentinel"
+        assert len(got) == 7
+
     def test_host_tee_and_replay(self, tmp_path):
         eng = self._bare_engine(batch_size=3)
         src = self._inputs(tmp_path)  # 7 imgs -> batches of 3, 3, 1

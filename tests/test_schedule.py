@@ -32,6 +32,12 @@ class TestWeightScheduler:
         assert loss_weight_factor(4) == 5 / 10
         assert loss_weight_factor(9) == 1.0
 
+    def test_zero_warmup_disables_warmup(self):
+        # warmup_epochs=0 means "no warmup", not ZeroDivisionError
+        np.testing.assert_allclose(loss_weight_factor(0, warmup_epochs=0), 1.0)
+        # decay then starts immediately: epoch 50, progress 0.5 -> 0.55
+        np.testing.assert_allclose(loss_weight_factor(50, warmup_epochs=0), 0.55)
+
     def test_decay_phase(self):
         # epoch 10: progress 0 -> decay 1.0
         np.testing.assert_allclose(loss_weight_factor(10), 1.0)

@@ -102,12 +102,16 @@ def main():
     conv2_j = jax.jit(lambda y, h, hs, w, g, b: fc.conv3x3_adain_residual_requant(y, h, hs, w, g, b))
     _ = conv2_j(y1, hq0, hs0, q["res0_conv2_p"], g1, b1)
 
+    # v1 packed ConvT weights are tool-local (the engine ships the
+    # phase-split up0_ps/up1_ps only)
+    up0_p = fc.pack_convt_weights(q["dec_up0"], q["dec_up0"].shape[2], q["dec_up0"].shape[3])
+    up1_p = fc.pack_convt_weights(q["dec_up1"], q["dec_up1"].shape[2], q["dec_up1"].shape[3])
     up0_j = jax.jit(lambda x, w: fc.convt4x4s2_in_relu_requant(x, w, 64, fc.GUARD))
-    y0, _s = up0_j(hq_rows, q["up0_p"])
+    y0, _s = up0_j(hq_rows, up0_p)
     y0u = y0.reshape(B, 64, 64, 2, 2, 128).transpose(0, 1, 3, 2, 4, 5)
     y0u = fc.pad_rows(y0u.reshape(B, 128 * 128, 128), 256)
     up1_j = jax.jit(lambda x, w: fc.convt4x4s2_in_relu_requant(x, w, 128, 256))
-    _ = up1_j(y0u, q["up1_p"])
+    _ = up1_j(y0u, up1_p)
 
     @jax.jit
     def full(q, img_u8, style):
@@ -123,8 +127,8 @@ def main():
         ("  conv1 site alone", lambda: timeit(conv1_j, hq0, q["res0_conv1_p"], g1, b1)),
         ("  conv2 site alone", lambda: timeit(conv2_j, y1, hq0, hs0, q["res0_conv2_p"], g1, b1)),
         ("fused decoder (2 ups+final)", lambda: timeit(dec_j, q, hq_rows)),
-        ("  up0 kernel alone", lambda: timeit(up0_j, hq_rows, q["up0_p"])),
-        ("  up1 kernel alone", lambda: timeit(up1_j, y0u, q["up1_p"])),
+        ("  up0 kernel alone", lambda: timeit(up0_j, hq_rows, up0_p)),
+        ("  up1 kernel alone", lambda: timeit(up1_j, y0u, up1_p)),
         ("full jit (one program)", lambda: timeit(full, q, img, style)),
     ]
     total = 0.0
