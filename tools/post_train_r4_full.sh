@@ -37,6 +37,11 @@ cp /tmp/train_r4.log "$OUT/train_r4_raw.log" 2>/dev/null
 
 run bench_256 python bench.py
 run psnr python tools/check_psnr_tpu.py
+# Host-link-dependent numbers (the committed 35 img/s e2e row was measured
+# on a ~2 MB/s tunnel; this host may differ) + the b8 step on the current
+# (post-pallas-default-fix) XLA AdaIN path.
+run bench_e2e python bench.py --mode e2e
+run bench_train_b8 python bench.py --mode train --train_batch 8 --iters 20
 
 run quality_final python tools/eval_quality.py --checkpoint "$LAST" \
     --out docs/quality_r4 --n_images 100 --domains 0 --batch_size 32
