@@ -1,4 +1,4 @@
-"""Evaluation: FID and activation statistics."""
+"""Evaluation: FID (VGG-prefix proxy or canonical InceptionV3 pool3)."""
 
 from msig_tpu.eval.fid import (  # noqa: F401
     activation_statistics,
@@ -6,4 +6,9 @@ from msig_tpu.eval.fid import (  # noqa: F401
     fid_between_dirs,
     frechet_distance,
     vgg_feature_fn,
+)
+from msig_tpu.eval.inception import (  # noqa: F401
+    inception_feature_fn,
+    inception_pool3,
+    load_inception_params,
 )

@@ -93,8 +93,14 @@ def fid_between_dirs(
     image_size: int = 256,
     batch_size: int = 32,
     vgg_weights_path: Optional[str] = None,
+    inception_weights_path: Optional[str] = None,
 ) -> float:
-    """Directory-level FID with the VGG-prefix extractor."""
+    """Directory-level FID.
+
+    Extractor priority: ``inception_weights_path`` (canonical InceptionV3
+    pool3, msig_tpu/eval/inception.py) > ``vgg_weights_path`` (VGG-prefix)
+    > random-VGG proxy (loudly labeled).
+    """
     from msig_tpu.data import list_image_files
     from msig_tpu.data.pipeline import load_inference_image
     from msig_tpu.losses import get_vgg_params
@@ -106,10 +112,15 @@ def fid_between_dirs(
                 [load_inference_image(p, image_size) for p in files[i : i + batch_size]]
             )
 
-    fn = vgg_feature_fn(get_vgg_params(vgg_weights_path))
-    if not vgg_weights_path:
-        logger.warning(
-            "FID computed with the randomly-initialized VGG fallback — a PROXY "
-            "metric (self-consistent, not comparable to published FID numbers)."
-        )
+    if inception_weights_path:
+        from msig_tpu.eval.inception import inception_feature_fn
+
+        fn = inception_feature_fn(inception_weights_path)
+    else:
+        fn = vgg_feature_fn(get_vgg_params(vgg_weights_path))
+        if not vgg_weights_path:
+            logger.warning(
+                "FID computed with the randomly-initialized VGG fallback — a PROXY "
+                "metric (self-consistent, not comparable to published FID numbers)."
+            )
     return compute_fid(batches(dir_a), batches(dir_b), fn)

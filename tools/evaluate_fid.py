@@ -25,15 +25,22 @@ def main():
     ap.add_argument("--image_size", type=int, default=256)
     ap.add_argument("--batch_size", type=int, default=32)
     ap.add_argument("--vgg_weights", type=str, default=None)
+    ap.add_argument("--inception_weights", type=str, default=None,
+                    help=".npz from tools/convert_inception_weights.py — "
+                         "canonical InceptionV3-pool3 FID (takes precedence)")
     args = ap.parse_args()
 
     from msig_tpu.eval import fid_between_dirs
 
     score = fid_between_dirs(
-        args.dir_a, args.dir_b, args.image_size, args.batch_size, args.vgg_weights
+        args.dir_a, args.dir_b, args.image_size, args.batch_size,
+        args.vgg_weights, args.inception_weights,
     )
+    metric = ("fid_inception_pool3" if args.inception_weights
+              else "fid_vgg_prefix" if args.vgg_weights
+              else "proxy_fid_random_vgg")
     print(json.dumps({
-        "metric": "fid" if args.vgg_weights else "proxy_fid_random_vgg",
+        "metric": metric,
         "value": round(score, 4),
         "dir_a": args.dir_a,
         "dir_b": args.dir_b,
