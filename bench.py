@@ -28,19 +28,6 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 
-def _enable_jax_cache():
-    """The env var is not honored by this jax build; set the config flags.
-    Must run after `import jax`, before the first compile."""
-    import os as _os
-
-    import jax as _jax
-
-    d = _os.environ["JAX_COMPILATION_CACHE_DIR"]
-    _os.makedirs(d, exist_ok=True)
-    _jax.config.update("jax_compilation_cache_dir", d)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-
 
 
 def _sync(x) -> float:
@@ -246,7 +233,6 @@ def bench_e2e(n_images=512, image_size=256, quantize=True):
     import jax
     import numpy as np
 
-    _enable_jax_cache()
     from PIL import Image
 
     from msig_tpu.config import InferenceConfig
@@ -258,9 +244,13 @@ def bench_e2e(n_images=512, image_size=256, quantize=True):
         src = "/root/reference/data/src/Tomato_healthy"
         files = []
         if os.path.isdir(src):
-            files = sorted(os.listdir(src))[: min(n_images, 1000)]
+            from msig_tpu.data import list_image_files
+
+            # Only actual image files: a stray subdirectory or manifest in
+            # the data dir would crash shutil.copy / shrink the decoded set.
+            files = list_image_files(src)[: min(n_images, 1000)]
             for i, f in enumerate(files):
-                shutil.copy(os.path.join(src, f), f"{tmp}/{i}.jpg")
+                shutil.copy(f, f"{tmp}/{i}.jpg")
             n = len(files)
         if not files:
             rng = np.random.default_rng(0)
@@ -306,10 +296,17 @@ def bench_e2e(n_images=512, image_size=256, quantize=True):
 
 
 def main():
+    # Persistent compile cache for EVERY mode (the env var alone is not
+    # honored by this jax build; the helper sets the config flags).
+    import msig_tpu
+
+    msig_tpu.enable_persistent_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["inference", "train", "data", "e2e"],
                     default="inference")
-    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--iters", type=int, default=20,
+                    help="timing iterations (inference/train modes; e2e and "
+                         "data modes measure a fixed workload)")
     ap.add_argument("--image_size", type=int, default=256,
                     help="map size for inference/train modes (512 = BASELINE "
                          "config 5; smaller batches are auto-selected)")

@@ -154,16 +154,16 @@ def main(cfg: InferenceConfig) -> int:
         targets = list(domain_dirs)
     else:
         targets = [d.strip() for d in cfg.target_domain.split(",") if d.strip()]
+    # Same UX as every other user-input failure: message + exit 1, no
+    # traceback (the reference tracebacks here; a clean error is a superset).
     if not targets:
-        raise ValueError(
-            f"--target_domain {cfg.target_domain!r} names no domain. "
-            f"Available: {domain_dirs}"
-        )
+        print(f"Failed: --target_domain {cfg.target_domain!r} names no domain. "
+              f"Available: {domain_dirs}")
+        return 1
     for t in targets:
         if t not in domain_dirs:
-            raise ValueError(
-                f"Target domain '{t}' not found. Available: {domain_dirs}"
-            )
+            print(f"Failed: target domain '{t}' not found. Available: {domain_dirs}")
+            return 1
     target_idx = domain_dirs.index(targets[0]) + 1
     say(f"Target domain(s): {targets} (first index: {target_idx})")
 
@@ -352,7 +352,12 @@ def main(cfg: InferenceConfig) -> int:
 
         n_inputs = len(_lif(cfg.input_dir))
         est_bytes = n_inputs * cfg.image_size * cfg.image_size * 3
-        cap = int(os.environ.get("MSIG_DECODE_CACHE_MB", "2048")) * (1 << 20)
+        try:
+            cap_mb = int(os.environ.get("MSIG_DECODE_CACHE_MB", "2048"))
+        except ValueError:
+            print("WARNING: MSIG_DECODE_CACHE_MB is not an integer; using 2048")
+            cap_mb = 2048
+        cap = cap_mb * (1 << 20)
         if est_bytes <= cap:
             decode_cache = {"ready": False, "batches": []}
         else:
@@ -364,7 +369,10 @@ def main(cfg: InferenceConfig) -> int:
             return rc
 
     if processed == 0:
-        print(f"WARNING: No images found in {cfg.input_dir}")
+        if failed:
+            print(f"WARNING: all {failed} images failed (decode or save errors above)")
+        else:
+            print(f"WARNING: No images found in {cfg.input_dir}")
         return 1
 
     say("\nInference complete!")

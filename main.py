@@ -21,6 +21,15 @@ import msig_tpu.config as default_config
 from msig_tpu.config import TrainConfig
 
 
+def _parse_bool(s: str) -> bool:
+    v = s.lower()
+    if v in ("1", "true", "yes", "on"):
+        return True
+    if v in ("0", "false", "no", "off"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean (true/false), got {s!r}")
+
+
 def build_arg_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         description="Train Multi-Domain StyleCycleGAN (TPU-native) with custom configurations."
@@ -49,9 +58,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--loss_weights", type=str,
                         default=json.dumps(default_config.LOSS_WEIGHTS),
                         help="Loss weights as a JSON string.")
-    parser.add_argument("--use_ema", type=lambda s: s.lower() not in ("0", "false", "no"),
+    parser.add_argument("--use_ema", type=_parse_bool,
                         default=default_config.TRAINING_USE_EMA,
-                        help="Use EMA models for saving samples during training.")
+                        help="Use EMA models for saving samples during training. "
+                             "(The reference's type=bool bug made EVERY string "
+                             "truthy, main.py:126-127; here unknown values are "
+                             "rejected instead of silently enabling EMA.)")
     # --- W&B Logging ---
     parser.add_argument("--wandb", action="store_true", help="Enable Weights & Biases logging.")
     # --- TPU-build extras ---
@@ -151,16 +163,6 @@ def main(cfg: TrainConfig) -> int:
 
         initialize_multihost()
 
-    wandb_run = None
-    if cfg.wandb:
-        import wandb
-
-        wandb_run = wandb.init(
-            project="Multi-Domain Style-Injected CycleGAN",
-            name=cfg.experiment_name,
-            config={k: v for k, v in vars(cfg).items()},
-        )
-
     print(f"--- Starting Multi-Domain Experiment: {cfg.experiment_name} ---")
 
     for path, what in ((cfg.source_dir, "Source"), (cfg.target_dir, "Target domains")):
@@ -185,6 +187,20 @@ def main(cfg: TrainConfig) -> int:
         print(f"ERROR: --vgg_weights file not found: {cfg.vgg_weights_path}")
         return 1
 
+    # wandb starts only after input validation: the early-error returns above
+    # exit without a finish(), which would leave an empty run to be closed by
+    # wandb's atexit handler (recorded as crashed). Reference inits first
+    # (main.py:20-27) but has no validated early exits to worry about.
+    wandb_run = None
+    if cfg.wandb:
+        import wandb
+
+        wandb_run = wandb.init(
+            project="Multi-Domain Style-Injected CycleGAN",
+            name=cfg.experiment_name,
+            config={k: v for k, v in vars(cfg).items()},
+        )
+
     dataset = MultiDomainDataset.build(cfg.source_dir, cfg.target_dir)
     print(f"Found {len(dataset.source_files)} source images")
     print("\n" + "=" * 60)
@@ -202,7 +218,11 @@ def main(cfg: TrainConfig) -> int:
     trainer = Trainer(cfg, dataset, wandb_run=wandb_run)
 
     if getattr(cfg, "profile_steps", 0):
-        trace_dir = trainer.profile_steps(cfg.profile_steps)
+        try:
+            trace_dir = trainer.profile_steps(cfg.profile_steps)
+        finally:
+            if wandb_run is not None:
+                wandb_run.finish()
         print(f"Profiler trace written to {trace_dir}")
         return 0
 

@@ -2,6 +2,8 @@
 
 import json
 
+import pytest
+
 import main as train_cli
 import inference as infer_cli
 from msig_tpu.config import TrainConfig, default_experiment_name
@@ -91,6 +93,10 @@ class TestTrainCLI:
         assert args.use_ema is False
         args = train_cli.build_arg_parser().parse_args(["--use_ema", "true"])
         assert args.use_ema is True
+        # ...and typos are REJECTED, not silently truthy ('flase' -> True
+        # under the old lenient lambda)
+        with pytest.raises(SystemExit):
+            train_cli.build_arg_parser().parse_args(["--use_ema", "flase"])
 
 
 class TestInferenceCLI:

@@ -130,8 +130,7 @@ class TestInferenceCLI:
         import inference as cli
 
         cfg = self._icfg(trained_ckpt, "out_bad", target_domain="Nope")
-        with pytest.raises(ValueError):
-            cli.main(cfg)
+        assert cli.main(cfg) == 1  # clean message + exit 1, no traceback
 
     def test_corrupt_input_skipped(self, trained_ckpt, tmp_path):
         """A broken image is skipped, the rest process (inference.py:302-305)."""
@@ -364,8 +363,7 @@ class TestMultiDomainServing:
             n_residual_blocks=1, batch_size=4, compute_dtype="float32",
             use_pallas=False,
         )
-        with pytest.raises(ValueError, match="names no domain"):
-            cli.main(cfg)
+        assert cli.main(cfg) == 1
 
     def test_unknown_domain_in_list_raises(self, trained_ckpt):
         import inference as cli
@@ -378,8 +376,7 @@ class TestMultiDomainServing:
             n_residual_blocks=1, batch_size=4, compute_dtype="float32",
             use_pallas=False,
         )
-        with pytest.raises(ValueError):
-            cli.main(cfg)
+        assert cli.main(cfg) == 1
 
 
 class TestInputIterator:
