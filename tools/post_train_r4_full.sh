@@ -5,7 +5,7 @@
 # /root/reference/config.py:15-16 + dataset.py:90-92).
 #
 # Run AFTER tools/train_r4_full.sh exits — the TPU serves one process at
-# a time (log: /tmp/train_r4.log).
+# a time. Set TRAIN_LOG to the run's log file (default /tmp/train_r4.log).
 #
 #   1. headline bench + PSNR gate (solo)
 #   2. epoch-800 quality eval (3 metrics x 9 domains) -> docs/quality_r4/
@@ -32,8 +32,9 @@ run() {
 LAST=$(ls -d results/tomato_r4/checkpoints/epoch_* | sort -V | tail -1)
 echo "final checkpoint: $LAST" | tee -a "$OUT/summary.txt"
 
-grep -o "epoch [0-9]*/[0-9]*.*" /tmp/train_r4.log > results/tomato_r4/per_epoch_log.txt
-cp /tmp/train_r4.log "$OUT/train_r4_raw.log" 2>/dev/null
+TRAIN_LOG=${TRAIN_LOG:-/tmp/train_r4.log}
+grep -o "epoch [0-9]*/[0-9]*.*" "$TRAIN_LOG" > results/tomato_r4/per_epoch_log.txt
+cp "$TRAIN_LOG" "$OUT/train_r4_raw.log" 2>/dev/null
 
 run bench_256 python bench.py
 run psnr python tools/check_psnr_tpu.py
