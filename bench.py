@@ -3,21 +3,43 @@
 
 Headline (default mode): reference-guided 256x256 inference throughput in
 images/s on one chip — the generator forward with per-image style sampling
-fused in, bfloat16 convs, batch sweep, device-resident steady state (host
-IO overlaps in the real pipeline; the driver-visible metric is chip
-throughput). Baseline: the north-star target of 2000 img/s/chip
-(BASELINE.md — the reference publishes no numbers; it loops images one by
-one in eager torch, reference inference.py:273-305).
+fused in, batch sweep over {int8, bf16} engine paths, device-resident
+steady state (host IO overlaps in the real pipeline; the driver-visible
+metric is chip throughput). Baseline: the north-star target of
+2000 img/s/chip (BASELINE.md — the reference publishes no numbers; it
+loops images one by one in eager torch, reference inference.py:273-305).
+
+Stall-proofing (round 4): the tunneled TPU backend has stalled mid-RPC
+three times (2026-08-17/19/20, docs/PERF.md "tunnel stall"); a hung RPC
+blocks the calling thread inside C code, so no in-process watchdog can
+recover it. The headline mode therefore runs as a SUPERVISOR that:
+
+  1. pre-flight probes the backend in a subprocess (timeout + one retry);
+  2. spawns a WORKER subprocess that measures one (mode, batch) config at
+     a time — known-winning config FIRST — and streams a JSON line per
+     completed config;
+  3. enforces a per-config deadline and a total wall-clock deadline; on
+     any deadline it kills the worker by exact PID and prints the
+     best-so-far measurement (exit 0) if anything was measured, else a
+     clear "backend unreachable" diagnostic (exit 1).
+
+A dead tunnel can no longer turn an achieved number into rc=124.
 
 Other modes (for local tuning, not the driver metric):
     python bench.py --mode train   # fused train-step ms at batch 32, 256^2
+    python bench.py --mode e2e     # disk JPEG -> engine -> host img/s
+    python bench.py --mode data    # host input-pipeline img/s
 """
 
 import argparse
 import dataclasses
 import json
 import os
+import queue
+import signal
+import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
@@ -27,7 +49,12 @@ import numpy as np
 # start in seconds.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
-
+# Supervisor knobs (seconds). Defaults sit well under typical driver
+# timeouts so the supervisor always gets to print its best-so-far line.
+PROBE_TIMEOUT = float(os.environ.get("MSIG_BENCH_PROBE_TIMEOUT", "120"))
+TOTAL_DEADLINE = float(os.environ.get("MSIG_BENCH_DEADLINE", "900"))
+FIRST_CONFIG_DEADLINE = float(os.environ.get("MSIG_BENCH_CONFIG_DEADLINE", "540"))
+NEXT_CONFIG_DEADLINE = float(os.environ.get("MSIG_BENCH_NEXT_DEADLINE", "300"))
 
 
 def _sync(x) -> float:
@@ -47,14 +74,30 @@ def _sync(x) -> float:
     return float(_SYNC_FN(x))
 
 
-def bench_inference(batch_sizes=(128, 256), iters=20, warmup=3, image_size=256):
-    """Best reference-guided throughput over {bf16, int8} x batch sizes.
+def inference_configs(batch_sizes):
+    """(mode, batch) sweep order: known-winning config first.
 
-    Both are first-class engine paths: bf16 is bit-faithful to training;
-    int8 (msig_tpu/infer/quantized.py) measures 38.5 dB PSNR vs bf16 and is
-    the production-serving mode. The best configuration wins the headline;
-    the per-mode table goes to stderr.
+    int8@128 has been the headline winner since round 3 (BASELINE.md);
+    running it first means a later stall still carries the headline.
     """
+    ordered = []
+    for mode in ("int8", "bf16"):
+        for bs in batch_sizes:
+            ordered.append((mode, bs))
+    return ordered
+
+
+def run_inference_worker(batch_sizes, iters=20, warmup=3, image_size=256):
+    """Measure each (mode, batch) config; print one JSON line per result.
+
+    Runs inside the worker subprocess. Lines go to stdout flushed so the
+    supervisor sees each result the moment it exists; human-readable
+    detail goes to stderr.
+    """
+    fake_stall = os.environ.get("MSIG_BENCH_FAKE_STALL", "")
+    if fake_stall == "init":
+        time.sleep(10_000)
+
     import jax
     import jax.numpy as jnp
 
@@ -75,54 +118,162 @@ def bench_inference(batch_sizes=(128, 256), iters=20, warmup=3, image_size=256):
     qparams = quantize_generator_params(params, 8)
     bank = jax.random.normal(jax.random.PRNGKey(1), (10, 256), jnp.float32)
 
-    best, best_cfg = 0.0, ""
-    for mode in ("bf16", "int8"):
-        for bs in batch_sizes:
-            if mode == "bf16":
-                def step(params, imgs_u8, bank, key, bs=bs):
-                    styles = sample_styles(bank, "random", key, bs)
-                    x = prepare_images(imgs_u8, dtype)
-                    return gen.apply(params, x, styles.astype(dtype))
-                p = params
-            else:
-                def step(qp, imgs_u8, bank, key, bs=bs):
-                    styles = sample_styles(bank, "random", key, bs)
-                    # uint8 output = the serving image (the reference's
-                    # inference loop saves uint8 PNGs); engages the fused
-                    # conv7+tanh+uint8 final kernel (ops/fused_dec_int8.py).
-                    return quantized_generator_apply(
-                        qp, imgs_u8, styles, n_res=8, out_dtype=jnp.uint8
-                    )
-                p = qparams
+    n_ok = 0
+    for mode, bs in inference_configs(batch_sizes):
+        if mode == "bf16":
+            def step(params, imgs_u8, bank, key, bs=bs):
+                styles = sample_styles(bank, "random", key, bs)
+                x = prepare_images(imgs_u8, dtype)
+                return gen.apply(params, x, styles.astype(dtype))
+            p = params
+        else:
+            def step(qp, imgs_u8, bank, key, bs=bs):
+                styles = sample_styles(bank, "random", key, bs)
+                # uint8 output = the serving image (the reference's
+                # inference loop saves uint8 PNGs); engages the fused
+                # conv7+tanh+uint8 final kernel (ops/fused_dec_int8.py).
+                return quantized_generator_apply(
+                    qp, imgs_u8, styles, n_res=8, out_dtype=jnp.uint8
+                )
+            p = qparams
 
-            fn = jax.jit(step)
-            rng = np.random.default_rng(0)
-            imgs = jax.device_put(
-                rng.integers(0, 256, (bs, image_size, image_size, 3), dtype=np.uint8)
+        fn = jax.jit(step)
+        rng = np.random.default_rng(0)
+        imgs = jax.device_put(
+            rng.integers(0, 256, (bs, image_size, image_size, 3), dtype=np.uint8)
+        )
+        key = jax.random.PRNGKey(2)
+        out = None
+        try:
+            for _ in range(warmup):
+                key, sub = jax.random.split(key)
+                out = fn(p, imgs, bank, sub)
+            _sync(out)
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                key, sub = jax.random.split(key)
+                out = fn(p, imgs, bank, sub)
+            _sync(out)
+        except Exception as e:  # one config failing must not kill the sweep
+            print(f"  {mode} batch {bs}: FAILED ({type(e).__name__}: "
+                  f"{str(e)[:200]})", file=sys.stderr)
+            continue
+        dt = time.perf_counter() - t0
+        rate = bs * iters / dt
+        print(f"  {mode} batch {bs}: {rate:.0f} img/s "
+              f"({1000 * dt / iters:.2f} ms/batch)", file=sys.stderr)
+        print(json.dumps({"config": f"{mode}@{bs}", "rate": round(rate, 1)}),
+              flush=True)
+        n_ok += 1
+        if fake_stall == "after_first" and n_ok == 1:
+            time.sleep(10_000)
+    print(json.dumps({"done": True}), flush=True)
+
+
+def _probe_backend() -> bool:
+    """Pre-flight: can a fresh process see the device within the timeout?
+
+    Runs in a subprocess because a stalled tunnel hangs device init inside
+    C code where no in-process timeout can reach. One retry: the tunnel
+    occasionally drops a single RPC but recovers.
+    """
+    code = "import jax; print(len(jax.devices()))"
+    for attempt in (1, 2):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], timeout=PROBE_TIMEOUT,
+                capture_output=True, text=True,
             )
-            key = jax.random.PRNGKey(2)
-            out = None
-            try:
-                for _ in range(warmup):
-                    key, sub = jax.random.split(key)
-                    out = fn(p, imgs, bank, sub)
-                _sync(out)
-                t0 = time.perf_counter()
-                for _ in range(iters):
-                    key, sub = jax.random.split(key)
-                    out = fn(p, imgs, bank, sub)
-                _sync(out)
-            except Exception as e:  # one config failing must not kill the sweep
-                print(f"  {mode} batch {bs}: FAILED ({type(e).__name__}: "
-                      f"{str(e)[:200]})", file=sys.stderr)
-                continue
-            dt = time.perf_counter() - t0
-            rate = bs * iters / dt
-            print(f"  {mode} batch {bs}: {rate:.0f} img/s ({1000 * dt / iters:.2f} ms/batch)",
-                  file=sys.stderr)
-            if rate > best:
-                best, best_cfg = rate, f"{mode}@{bs}"
-    return best, best_cfg
+            if r.returncode == 0 and r.stdout.strip().isdigit():
+                return True
+            print(f"bench: probe attempt {attempt} rc={r.returncode}: "
+                  f"{r.stderr.strip()[-300:]}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"bench: probe attempt {attempt} timed out after "
+                  f"{PROBE_TIMEOUT:.0f}s (backend stalled?)", file=sys.stderr)
+    return False
+
+
+def _reader_thread(stream, q):
+    for line in stream:
+        q.put(line)
+    q.put(None)
+
+
+def supervise_inference(args, size_tag):
+    """Spawn the measuring worker; enforce deadlines; print the headline."""
+    t_start = time.monotonic()
+    if not _probe_backend():
+        print("bench: backend unreachable (pre-flight probe failed twice) — "
+              "no measurement possible", file=sys.stderr)
+        sys.exit(1)
+
+    cmd = [sys.executable, "-u", os.path.abspath(__file__), "--worker",
+           "--mode", "inference", "--iters", str(args.iters),
+           "--image_size", str(args.image_size)]
+    if args.batches:
+        cmd += ["--batches", args.batches]
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=sys.stderr,
+                            text=True, bufsize=1)
+    q = queue.Queue()
+    threading.Thread(target=_reader_thread, args=(proc.stdout, q),
+                     daemon=True).start()
+
+    best, best_cfg = 0.0, ""
+    measured = 0
+    config_deadline = FIRST_CONFIG_DEADLINE
+    stalled_msg = None
+    while True:
+        remaining_total = TOTAL_DEADLINE - (time.monotonic() - t_start)
+        wait = min(config_deadline, remaining_total)
+        if wait <= 0:
+            stalled_msg = ("total deadline" if remaining_total <= 0
+                           else "per-config deadline")
+            break
+        try:
+            line = q.get(timeout=wait)
+        except queue.Empty:
+            stalled_msg = (f"no result within {wait:.0f}s "
+                           f"(per-config deadline)")
+            break
+        if line is None:  # worker stdout closed
+            proc.wait(timeout=30)
+            break
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if rec.get("done"):
+            proc.wait(timeout=30)
+            break
+        measured += 1
+        config_deadline = NEXT_CONFIG_DEADLINE
+        if rec.get("rate", 0) > best:
+            best, best_cfg = rec["rate"], rec.get("config", "")
+
+    if stalled_msg:
+        print(f"bench: worker stalled ({stalled_msg}); killing pid "
+              f"{proc.pid} and reporting best-so-far", file=sys.stderr)
+        try:
+            proc.send_signal(signal.SIGKILL)
+        except OSError:
+            pass
+
+    if measured == 0:
+        print("bench: no config completed before the deadline — backend "
+              "stalled mid-measurement", file=sys.stderr)
+        sys.exit(1)
+    print(f"  best: {best_cfg} ({measured} configs measured)", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"img_per_s_{size_tag}px_ref_guided_inference",
+        "value": round(best, 1),
+        "unit": "img/s/chip",
+        "vs_baseline": round(best / 2000.0, 3) if args.image_size == 256
+        else None,
+    }), flush=True)
 
 
 def bench_train(batch=32, iters=10, warmup=2, image_size=256):
@@ -296,11 +447,6 @@ def bench_e2e(n_images=512, image_size=256, quantize=True):
 
 
 def main():
-    # Persistent compile cache for EVERY mode (the env var alone is not
-    # honored by this jax build; the helper sets the config flags).
-    import msig_tpu
-
-    msig_tpu.enable_persistent_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["inference", "train", "data", "e2e"],
                     default="inference")
@@ -314,8 +460,24 @@ def main():
     ap.add_argument("--batches", type=str, default="",
                     help="comma list of inference batch sizes to sweep "
                          "(default: 128,256 at <=256^2, 16,32 at 512^2)")
+    ap.add_argument("--worker", action="store_true",
+                    help="internal: run the measuring worker in-process "
+                         "(no supervisor, no deadlines)")
     args = ap.parse_args()
     size_tag = str(args.image_size)
+
+    if args.mode == "inference" and not args.worker:
+        # Supervisor path: deadlines + best-so-far live OUTSIDE the process
+        # that talks to the device, so a stalled RPC can't swallow them.
+        supervise_inference(args, size_tag)
+        return
+
+    # Worker / non-headline modes: device work happens in THIS process.
+    # Persistent compile cache for every mode (the env var alone is not
+    # honored by this jax build; the helper sets the config flags).
+    import msig_tpu
+
+    msig_tpu.enable_persistent_compile_cache()
 
     if args.mode == "e2e":
         rate, count = bench_e2e()
@@ -352,23 +514,8 @@ def main():
         batch_sizes = tuple(int(b) for b in args.batches.split(","))
     else:
         batch_sizes = (128, 256) if args.image_size <= 256 else (16, 32)
-    rate, bs = bench_inference(batch_sizes=batch_sizes, iters=args.iters,
-                               image_size=args.image_size)
-    if not bs:
-        # Per-config failures are survivable (the sweep continues), but if
-        # EVERY config failed there is no measurement — exit loudly instead
-        # of printing a syntactically-valid 0.0 headline with rc=0.
-        print("bench: every (mode, batch) config failed — no measurement",
-              file=sys.stderr)
-        sys.exit(1)
-    print(f"  best: batch {bs}", file=sys.stderr)
-    print(json.dumps({
-        "metric": f"img_per_s_{size_tag}_ref_guided_inference",
-        "value": round(rate, 1),
-        "unit": "img/s/chip",
-        "vs_baseline": round(rate / 2000.0, 3) if args.image_size == 256
-        else None,
-    }))
+    run_inference_worker(batch_sizes=batch_sizes, iters=args.iters,
+                         image_size=args.image_size)
 
 
 if __name__ == "__main__":
