@@ -26,7 +26,7 @@ its FLOPs are negligible).
 from __future__ import annotations
 
 import os
-from typing import Any, Dict
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -314,18 +314,7 @@ def quantized_generator_apply(
                                     w_img=w_cells)
         return _fused_decoder(q, hq_rows, out_dtype, w_cells=w_cells)
 
-    # Raw uint8 -> int8 by recentering; the affine (x/127.5 - 1) is absorbed.
-    x = (img_u8.astype(jnp.int32) - 128).astype(jnp.int8)
-    x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
-    h = _conv_i8(x, q["enc_conv0"], 1, ((0, 0), (0, 0)))
-    h = jnp.maximum(instance_norm(h.astype(jnp.bfloat16)), 0)
-    h = _conv_i8(_requant(h), q["enc_conv1"], 2, ((1, 1), (1, 1)))
-    h = jnp.maximum(instance_norm(h.astype(jnp.bfloat16)), 0)
-    h = _conv_i8(_requant(h), q["enc_conv2"], 2, ((1, 1), (1, 1)))
-    h = jnp.maximum(instance_norm(h.astype(jnp.bfloat16)), 0)
-
-    from msig_tpu.ops import int8_epilogue_chunked
-
+    h = _xla_encoder(q, img_u8)
     bsz, hh, ww, cc = h.shape
     if fused_trunk and hh == ww == 64 and cc % 128 == 0:
         hq_rows = _fused_trunk(q, h, style, n_res)
@@ -360,6 +349,28 @@ def quantized_generator_apply(
         h = jnp.maximum(instance_norm(h.astype(jnp.bfloat16)), 0)
         return _final_conv(q, h, out_dtype)
 
+    h = _xla_trunk(q, h, style, n_res, fused_epilogue=fused_epilogue)
+    return _xla_decoder(q, h, out_dtype)
+
+
+def _xla_encoder(q, img_u8):
+    """uint8 image -> post-IN-relu bf16 encoder output (XLA int8 convs)."""
+    # Raw uint8 -> int8 by recentering; the affine (x/127.5 - 1) is absorbed.
+    x = (img_u8.astype(jnp.int32) - 128).astype(jnp.int8)
+    x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
+    h = _conv_i8(x, q["enc_conv0"], 1, ((0, 0), (0, 0)))
+    h = jnp.maximum(instance_norm(h.astype(jnp.bfloat16)), 0)
+    h = _conv_i8(_requant(h), q["enc_conv1"], 2, ((1, 1), (1, 1)))
+    h = jnp.maximum(instance_norm(h.astype(jnp.bfloat16)), 0)
+    h = _conv_i8(_requant(h), q["enc_conv2"], 2, ((1, 1), (1, 1)))
+    return jnp.maximum(instance_norm(h.astype(jnp.bfloat16)), 0)
+
+
+def _xla_trunk(q, h, style, n_res, fused_epilogue: bool = False):
+    """bf16 trunk input -> bf16 trunk output (XLA int8 resblock convs)."""
+    from msig_tpu.ops import int8_epilogue_chunked
+
+    bsz, hh, ww, cc = h.shape
     use_fused = fused_epilogue and int8_epilogue_chunked.supported((bsz, hh * ww, cc))
     if use_fused:
         # Chunked two-phase Pallas epilogue for the relu (adain1) sites —
@@ -384,7 +395,11 @@ def quantized_generator_apply(
             y = _conv_i8(_requant(y), q[f"res{i}_conv2"], 1, ((1, 1), (1, 1)))
             y = adain_modulate(y.astype(jnp.bfloat16), g2, b2)
             h = y + h
+    return h
 
+
+def _xla_decoder(q, h, out_dtype):
+    """bf16 trunk output -> final image (XLA int8 ConvT + final conv)."""
     h = _conv_i8(_requant(h), q["dec_up0"], 1, ((2, 2), (2, 2)), lhs_dilation=(2, 2))
     h = jnp.maximum(instance_norm(h.astype(jnp.bfloat16)), 0)
     h = _conv_i8(_requant(h), q["dec_up1"], 1, ((2, 2), (2, 2)), lhs_dilation=(2, 2))
@@ -392,6 +407,82 @@ def quantized_generator_apply(
 
     # Final RGB conv in int8 with a true dequant (not IN-followed), then tanh.
     return _final_conv(q, h, out_dtype)
+
+
+def _rows_to_spatial(hq_rows, hs, side: int):
+    """Inverse of ``_fused_trunk``'s packing: padded-row int8 slab + per-
+    sample inverse scale -> bf16 spatial activations [B, side, side, C]."""
+    from msig_tpu.ops import fused_conv_int8_v2 as fc
+
+    b, c = hq_rows.shape[0], hq_rows.shape[-1]
+    g = fc.guard_rows(side)
+    wp = side + 8
+    body = hq_rows[:, g:g + side * wp].reshape(b, side, wp, c)[:, :, :side]
+    return body.astype(jnp.bfloat16) * hs.reshape(b, 1, 1, 1).astype(jnp.bfloat16)
+
+
+def quantized_generator_apply_staged(
+    q: Dict[str, Any],
+    img_u8: jax.Array,
+    style: jax.Array,
+    n_res: int = 8,
+    out_dtype=jnp.float32,
+    pallas: Tuple[str, ...] = ("enc", "trunk", "dec"),
+) -> jax.Array:
+    """Per-stage Pallas/XLA composition of the int8 generator.
+
+    ``pallas`` selects which of the three stages run on the fused Pallas
+    kernels; the rest run the XLA int8 path. Used to ATTRIBUTE accuracy
+    differences between the all-Pallas path and the int8 XLA path to a
+    single stage (tools/check_psnr_tpu.py, VERDICT r3 directive #3): each
+    hybrid swaps exactly one stage, so a PSNR drop names its kernel.
+
+    256^2 only (the attribution target); the production entry point is
+    :func:`quantized_generator_apply`.
+    """
+    from msig_tpu.ops import fused_conv_int8_v2 as fc
+
+    side = img_u8.shape[1] // 4
+
+    if "enc" in pallas:
+        hq_rows, hs = _fused_encoder(q, img_u8)
+        if "trunk" not in pallas:
+            h = _rows_to_spatial(hq_rows, hs, side)
+    else:
+        h = _xla_encoder(q, img_u8)
+
+    if "trunk" in pallas:
+        if "enc" not in pallas:
+            hq, inv_s = _requant_with_inv_scale(h)
+            hq_rows = fc.to_padded_rows(hq)
+            hs = inv_s.reshape(h.shape[0], 1).astype(jnp.float32)
+        hq_rows = _fused_trunk_rows(q, hq_rows, hs, style, n_res, w_img=side)
+        if "dec" not in pallas:
+            # Trunk rows carry an absorbed per-sample scale (hs is the
+            # ENCODER residual scale, consumed inside the trunk); the XLA
+            # decoder's dec_up0 is IN-followed, so int8 + absorbed scale is
+            # exactly what it expects (same contract as the 512^2 float
+            # fallback above).
+            g = fc.guard_rows(side)
+            wp = side + 8
+            b, c = hq_rows.shape[0], hq_rows.shape[-1]
+            body = hq_rows[:, g:g + side * wp].reshape(b, side, wp, c)[:, :, :side]
+            h = _conv_i8(body, q["dec_up0"], 1, ((2, 2), (2, 2)),
+                         lhs_dilation=(2, 2))
+            h = jnp.maximum(instance_norm(h.astype(jnp.bfloat16)), 0)
+            h = _conv_i8(_requant(h), q["dec_up1"], 1, ((2, 2), (2, 2)),
+                         lhs_dilation=(2, 2))
+            h = jnp.maximum(instance_norm(h.astype(jnp.bfloat16)), 0)
+            return _final_conv(q, h, out_dtype)
+    else:
+        h = _xla_trunk(q, h, style, n_res)
+        if "dec" in pallas:
+            hq, inv_s = _requant_with_inv_scale(h)
+            hq_rows = fc.to_padded_rows(hq)
+
+    if "dec" in pallas:
+        return _fused_decoder(q, hq_rows, out_dtype, w_cells=side)
+    return _xla_decoder(q, h, out_dtype)
 
 
 def _final_conv(q, h, out_dtype):

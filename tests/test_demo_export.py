@@ -27,6 +27,7 @@ def _run_export(torch_dir, out, extra=()):
                           timeout=300)
 
 
+@pytest.mark.heavy
 def test_export_roundtrip(torch_dir, tmp_path):  # noqa: F811
     out = tmp_path / "demo"
     res = _run_export(torch_dir, out)
@@ -77,6 +78,7 @@ def test_num_domains_guard(torch_dir, tmp_path):  # noqa: F811
         load_inference_params(str(out), cfg, 5)
 
 
+@pytest.mark.heavy
 def test_demo_dir_generates(torch_dir, tmp_path):  # noqa: F811
     """The demo layout drives the actual generator forward."""
     out = tmp_path / "demo"
@@ -106,6 +108,7 @@ def test_demo_dir_generates(torch_dir, tmp_path):  # noqa: F811
     assert np.isfinite(np.asarray(out_imgs, dtype=np.float32)).all()
 
 
+@pytest.mark.heavy
 def test_native_checkpoint_beats_demo_npz(tmp_path):
     """A full native checkpoint (meta.json + Orbax state/) in the same
     directory as a demo npz must win: the fp16 demo is a lossy derivative

@@ -1,5 +1,6 @@
 """Extension tests: mapping network, R1 penalty, R1-enabled train step."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -32,6 +33,7 @@ class TestMappingNetwork:
 
 
 class TestStyleRecon:
+    @pytest.mark.heavy
     def test_style_recon_adds_term(self):
         from msig_tpu.config import TrainConfig
         from msig_tpu.losses import init_vgg_params
@@ -66,6 +68,7 @@ class TestStyleRecon:
 
 
 class TestDiversity:
+    @pytest.mark.heavy
     def test_diversity_loss_negative_and_gates(self):
         from msig_tpu.config import TrainConfig
         from msig_tpu.losses import init_vgg_params
@@ -124,6 +127,7 @@ class TestR1:
         p = float(r1_penalty(disc.apply, params, x, idx))
         assert np.isfinite(p) and p > 0
 
+    @pytest.mark.heavy
     def test_r1_changes_d_loss_only(self):
         from msig_tpu.config import TrainConfig
         from msig_tpu.losses import init_vgg_params

@@ -29,6 +29,7 @@ def _xla_reference(x_i8, w_i8, gamma, beta):
 
 
 @pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.heavy
 def test_matches_xla_chain(seed):
     rng = np.random.default_rng(seed)
     b, c = 2, 256
@@ -91,6 +92,7 @@ def test_convt_up_site_matches_xla_chain(w_img, cin, cout, guard):
     assert (diff > 0).mean() < 0.01
 
 
+@pytest.mark.heavy
 def test_residual_site_matches_xla_chain():
     """conv2 site: conv -> adain -> +residual -> requant, vs the XLA ops."""
     rng = np.random.default_rng(7)
@@ -134,6 +136,7 @@ def test_residual_site_matches_xla_chain():
 # ---------------------------------------------------------------- v2 layout
 
 
+@pytest.mark.heavy
 def test_v2_relu_site_matches_xla_chain():
     from msig_tpu.ops import fused_conv_int8_v2 as f2
 
@@ -163,6 +166,7 @@ def test_v2_relu_site_matches_xla_chain():
     assert (diff > 0).mean() < 0.01
 
 
+@pytest.mark.heavy
 def test_v2_residual_site_matches_xla_chain():
     from msig_tpu.ops import fused_conv_int8_v2 as f2
 
@@ -207,6 +211,7 @@ def test_v2_residual_site_matches_xla_chain():
 
 
 @pytest.mark.parametrize("w_img,cin,cout", [(64, 256, 128), (128, 128, 64)])
+@pytest.mark.heavy
 def test_v2_convt_up_site_matches_xla_chain(w_img, cin, cout):
     from msig_tpu.ops import fused_conv_int8_v2 as f2
     from msig_tpu.ops.norm import instance_norm
@@ -261,6 +266,7 @@ def test_v2_convt_phase_split_matches_9tap(w_img, cin, cout):
     np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s), rtol=1e-5)
 
 
+@pytest.mark.heavy
 def test_v2_relu_site_128_matches_xla_chain():
     """512^2 trunk geometry: relu site on 128x128 maps (w_img=128)."""
     from msig_tpu.ops import fused_conv_int8_v2 as f2

@@ -20,6 +20,7 @@ from msig_tpu.ops import fused_conv_int8_v2 as f2
 from msig_tpu.ops import fused_dec_int8 as fd
 
 
+@pytest.mark.heavy
 def test_up1_hbm_matches_single_kernel_64():
     """The HBM-staged pair == the single-kernel site, same 64-grid input.
 

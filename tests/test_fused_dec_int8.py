@@ -30,6 +30,7 @@ def _rand_up_weights(rng):
     return jnp.asarray(w_up0), jnp.asarray(w_up1)
 
 
+@pytest.mark.heavy
 def test_up1_s2d16_matches_round2_composition():
     rng = np.random.default_rng(0)
     w_up0, w_up1 = _rand_up_weights(rng)

@@ -7,6 +7,7 @@ per-sample dynamic requant, for conv0 (7x7 s1 reflect-pad), conv1 and
 conv2 (4x4 s2 zero-pad).
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -59,6 +60,7 @@ def _unlayout_256(o):
     return body
 
 
+@pytest.mark.heavy
 def test_full_encoder_chain_matches_xla():
     rng = np.random.default_rng(5)
     b = 2
@@ -95,6 +97,7 @@ def test_full_encoder_chain_matches_xla():
                                np.asarray(s2).reshape(b), rtol=0.02)
 
 
+@pytest.mark.heavy
 def test_enc1_im2col_matches_phase_packed():
     """Dense-K im2col enc1 == the 9-tap phase-packed kernel, exactly
     (identical integer convs + identical epilogue math)."""

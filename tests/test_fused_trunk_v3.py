@@ -47,6 +47,7 @@ def _chain_v2(xq, hs, ws, gs, bs, n_blocks):
 
 
 @pytest.mark.parametrize("n_blocks", [1, 3])
+@pytest.mark.heavy
 def test_v3_matches_v2_chain(n_blocks):
     xq, hs, ws, gs, bs = _mk_inputs(n_blocks)
     want, want_s = _chain_v2(xq, hs, ws, gs, bs, n_blocks)

@@ -27,6 +27,7 @@ def torch_dir(tmp_path):
     return d
 
 
+@pytest.mark.heavy
 def test_tool_converts_and_native_load_works(torch_dir, tmp_path):
     out = tmp_path / "native"
     env_cmd = [

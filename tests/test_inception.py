@@ -200,6 +200,7 @@ def _npz_from_sd(sd, tmp_path):
     return str(path)
 
 
+@pytest.mark.heavy
 def test_pool3_parity_vs_functional_torch(tmp_path):
     from msig_tpu.eval.inception import inception_pool3, load_inception_params
 

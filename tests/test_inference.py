@@ -95,6 +95,7 @@ def trained_ckpt(tmp_path_factory):
     return ckpt, root, cfg
 
 
+@pytest.mark.heavy
 class TestInferenceCLI:
     def _icfg(self, trained_ckpt, out_name, **kw):
         ckpt, root, tcfg = trained_ckpt
@@ -213,6 +214,7 @@ class TestInferenceCLI:
         assert len(os.listdir(cfg.output_dir)) == 9  # 8 outputs + grid
 
 
+@pytest.mark.heavy
 class TestLatentGuided:
     def test_latent_mode_end_to_end(self, trained_ckpt, tmp_path):
         """EXTENSION: z ~ N(0,1) -> MappingNetwork -> generator."""
@@ -270,6 +272,7 @@ class TestLatentGuided:
             cli.main(cfg)
 
 
+@pytest.mark.heavy
 class TestTorchCheckpointInference:
     def test_reference_format_checkpoint(self, trained_ckpt, tmp_path):
         """A torch-format checkpoint dir drops straight into the CLI."""
@@ -308,6 +311,7 @@ class TestTorchCheckpointInference:
         assert len(os.listdir(cfg.output_dir)) == 4
 
 
+@pytest.mark.heavy
 class TestMultiDomainServing:
     """EXTENSION: --target_domain 'all' / comma-list, one compiled program."""
 

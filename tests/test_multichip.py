@@ -1,5 +1,6 @@
 """Multi-chip (virtual 8-device CPU mesh) tests: shardings + DP equivalence."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -41,6 +42,7 @@ class TestGraftEntry:
         fn, args = ge.entry()
         jax.eval_shape(fn, *args)  # traces/compile-checks without running 256^2 on CPU
 
+    @pytest.mark.heavy
     def test_dryrun_multichip_8(self):
         import __graft_entry__ as ge
 
@@ -48,6 +50,7 @@ class TestGraftEntry:
 
 
 class TestDataParallelEquivalence:
+    @pytest.mark.heavy
     def test_sharded_step_matches_single_device(self):
         """One fused step on an 8-device mesh == the same step on one device."""
         from msig_tpu.config import TrainConfig
@@ -143,6 +146,7 @@ class TestDataParallelInference:
             self._run(single, imgs.copy()), self._run(dp, imgs.copy()),
             rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.heavy
     def test_int8_path_matches_single_device(self):
         single, dp = self._engines(quantize="int8")
         assert dp.mesh is not None

@@ -43,6 +43,7 @@ class TestResolutions:
 
 
 class TestRematStep:
+    @pytest.mark.heavy
     def test_remat_step_runs_and_matches(self):
         """remat=True computes the same losses as remat=False (tiny shapes)."""
         import numpy as np

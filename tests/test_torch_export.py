@@ -202,6 +202,7 @@ class TestCheckpointDir:
         assert len(ckpt["d_optimizer"]["param_groups"][0]["params"]) == n_d
 
 
+@pytest.mark.heavy
 def test_cli_tool_native_to_torch(tmp_path):
     """tools/export_torch_checkpoint.py: native Orbax dir -> torch dir that the
     inference loader resolves (EMA preferred) with identical weights."""

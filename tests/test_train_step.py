@@ -99,6 +99,7 @@ class TestTrainStep:
         _, metrics = step(state, b8, vgg, jnp.float32(2e-4), jnp.float32(1e-4), w)
         assert np.isfinite(float(metrics["G_loss"]))
 
+    @pytest.mark.heavy
     def test_batch_forwards_matches_unbatched(self, setup):
         """batch_forwards=True (3 G launches + paired D/VGG) must reproduce the
         unbatched structure's metrics AND updated params (ADVICE r2: this
@@ -119,6 +120,7 @@ class TestTrainStep:
             np.testing.assert_allclose(np.asarray(lt), np.asarray(lf),
                                        rtol=2e-3, atol=2e-5)
 
+    @pytest.mark.heavy
     def test_vgg_pair_2x2_matches_unbatched(self, setup):
         """vgg_pair='2x2' (two 2B VGG launches, losses/vgg.py pair2) must
         reproduce the unbatched structure's metrics."""

@@ -111,6 +111,7 @@ class TestEndToEnd:
         for x, y in zip(jax.tree.leaves(want), jax.tree.leaves(g)):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
+    @pytest.mark.heavy
     def test_profile_steps_writes_trace(self, trained, tmp_path):
         trace_dir = trained.profile_steps(n_steps=1, trace_dir=str(tmp_path / "prof"))
         assert os.path.isdir(trace_dir)

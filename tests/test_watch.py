@@ -80,6 +80,7 @@ def setup():
     return cfg, models, state, tx_g, tx_d, vgg, batch, w
 
 
+@pytest.mark.heavy
 def test_watch_step_matches_plain_step(setup):
     """The grad_hists variant must not change the training math."""
     cfg, models, state, tx_g, tx_d, vgg, batch, w = setup
@@ -122,6 +123,7 @@ def _named_items(tree):
     return [(k.split("/", 1)[1], v) for k, v in _named_leaves(tree, "x").items()]
 
 
+@pytest.mark.heavy
 def test_trainer_watch_path(tmp_path, monkeypatch):
     """Drive the trainer's watch wiring end-to-end with a stub wandb."""
     import sys

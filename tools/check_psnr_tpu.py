@@ -25,6 +25,7 @@ def main():
 
     from msig_tpu.infer.quantized import (
         quantize_generator_params, quantized_generator_apply,
+        quantized_generator_apply_staged,
     )
     from msig_tpu.models import StyleCycleGANGenerator
     from msig_tpu.train.step import prepare_images
@@ -51,12 +52,32 @@ def main():
         q, u8, s, fused_trunk=False))
 
     ref = np.asarray(bf16_fwd(params, img, style))
-    for name, fn in (("fused all-Pallas", fused), ("int8 XLA", xla_i8)):
+
+    def psnr_of(fn):
         out = np.asarray(fn(q, img, style))
         mse = float(np.mean((out - ref) ** 2))
-        psnr = 10 * np.log10(4.0 / mse)  # signal range [-1, 1] -> peak 2
+        return 10 * np.log10(4.0 / mse)  # signal range [-1, 1] -> peak 2
+
+    for name, fn in (("fused all-Pallas", fused), ("int8 XLA", xla_i8)):
+        psnr = psnr_of(fn)
         print(f"{name}: PSNR vs bf16 = {psnr:.1f} dB "
               f"({'OK' if psnr >= 35 else 'FAIL <35'})", flush=True)
+
+    if os.environ.get("ATTRIBUTE", "1") == "1":
+        # Per-stage attribution (VERDICT r3 directive #3): swap exactly one
+        # stage between Pallas and XLA; the PSNR delta names the lossy
+        # kernel. 'only <s> Pallas' isolates a stage's own contribution;
+        # 'all but <s>' shows the path without it.
+        print("\nper-stage attribution (PSNR vs bf16, dB):", flush=True)
+        stages = ("enc", "trunk", "dec")
+        variants = [("all Pallas", stages), ("all XLA", ())]
+        variants += [(f"only {s} Pallas", (s,)) for s in stages]
+        variants += [(f"all but {s} Pallas",
+                      tuple(t for t in stages if t != s)) for s in stages]
+        for name, pl in variants:
+            fn = jax.jit(lambda q, u8, s, pl=pl: quantized_generator_apply_staged(
+                q, u8, s, pallas=pl))
+            print(f"  {name:22s} {psnr_of(fn):6.1f}", flush=True)
 
 
 if __name__ == "__main__":
