@@ -33,7 +33,9 @@ from msig_tpu.ops import fused_conv_int8_v2 as f2
 from msig_tpu.ops import fused_dec_int8 as fd
 from msig_tpu.ops import fused_enc_int8 as fe
 
-B = int(os.environ.get("B", "256"))
+SIZE = int(os.environ.get("SIZE", "256"))   # 256 or 512
+B = int(os.environ.get("B", "256" if SIZE == 256 else "32"))
+W_CELLS = SIZE // 4
 N_RES = 8
 
 
@@ -57,12 +59,12 @@ def timeit(fn, *args, iters=10, warmup=3):
 def main():
     gen = StyleCycleGANGenerator(style_dim=256, n_residual_blocks=N_RES,
                                  dtype=jnp.bfloat16)
-    img0 = jnp.zeros((1, 256, 256, 3), jnp.bfloat16)
+    img0 = jnp.zeros((1, SIZE, SIZE, 3), jnp.bfloat16)
     params = gen.init(jax.random.PRNGKey(0), img0, jnp.zeros((1, 256), jnp.bfloat16))
     q = quantize_generator_params(params, N_RES)
 
     rng = np.random.default_rng(0)
-    img = jax.device_put(rng.integers(0, 256, (B, 256, 256, 3), dtype=np.uint8))
+    img = jax.device_put(rng.integers(0, 256, (B, SIZE, SIZE, 3), dtype=np.uint8))
     style = jax.device_put(rng.normal(0, 1, (B, 256)).astype(np.float32))
 
     def upto(n):
@@ -70,37 +72,40 @@ def main():
             h = fe.prep_s2d4_input(im)
             if n == 0:
                 return h
-            h = fe.enc0_in_relu_requant(h, q["enc0_p"])
+            h = fe.enc0_in_relu_requant(h, q["enc0_p"], w_cells=W_CELLS)
             if n == 1:
                 return h
-            h = fe.enc1_in_relu_requant(h, q["enc1_p"])
+            h = fe.enc1_in_relu_requant(h, q["enc1_p"], w_cells=W_CELLS)
             if n == 2:
                 return h
-            h, inv_s = fe.enc2_in_relu_requant(h, q["enc2_p"])
+            h, inv_s = fe.enc2_in_relu_requant(h, q["enc2_p"], w_cells=W_CELLS)
             hs = inv_s.reshape(im.shape[0], 1)
             if n == 3:
                 return h
-            h = _fused_trunk_rows(q, h, hs, st, N_RES)
+            h = _fused_trunk_rows(q, h, hs, st, N_RES, w_img=W_CELLS)
             if n == 4:
                 return h
             y0, _ = f2.convt4x4s2_in_relu_requant_ps(
-                h, q["up0_ps"], f2.PS_TAPS, 64, guarded_out=True)
+                h, q["up0_ps"], f2.PS_TAPS, W_CELLS, guarded_out=True)
             if n == 5:
                 return y0
-            y1, inv_s1 = fd.up1_s2d16(y0, q["up1_s16"])
+            if W_CELLS > 64:
+                y1, inv_s1 = fd.up1_s2d16_hbm(y0, q["up1_s16"], w_cells=W_CELLS)
+            else:
+                y1, inv_s1 = fd.up1_s2d16(y0, q["up1_s16"])
             if n == 6:
                 return y1
             u8 = fd.final7_tanh_u8(y1, q["final_s16"], q["out_wscale"],
-                                   q["out_bias"], inv_s1)
+                                   q["out_bias"], inv_s1, w_cells=W_CELLS)
             if n == 7:
                 return u8
-            return fd.unphase_s2d16_u8(u8)
+            return fd.unphase_s2d16_u8(u8, w_cells=W_CELLS)
         return jax.jit(f)
 
     names = ["prep s2d4", "enc0", "enc1", "enc2", "trunk(16 sites)",
              "up0", "up1(+guards)", "final7", "unphase"]
     prev = 0.0
-    print(f"B={B} in-chain prefix ablation:")
+    print(f"SIZE={SIZE} B={B} in-chain prefix ablation:")
     for n, name in enumerate(names):
         t = timeit(upto(n), img, style)
         print(f"  +{name:<18}: cum {t:8.2f} ms   marginal {t - prev:7.2f} ms"
