@@ -158,7 +158,8 @@ def _style_affine(style, k, b):
     return gamma, beta
 
 
-def _fused_trunk_rows(q, hq, hs, style, n_res, w_img=64, v3: bool | None = None):
+def _fused_trunk_rows(q, hq, hs, style, n_res, w_img=64, v3: bool | None = None,
+                      hifi: bool | None = None):
     """Resblock trunk on an already-quantized padded-row slab (v2 layout).
 
     Default: the round-2 per-site chain (one kernel per conv site,
@@ -190,6 +191,21 @@ def _fused_trunk_rows(q, hq, hs, style, n_res, w_img=64, v3: bool | None = None)
     params = jnp.einsum("bs,nsc->nbc", style.astype(jnp.float32), ks) + bs[:, None, :]
     gammas, betas = jnp.split(params, 2, axis=-1)            # [2n, B, C] each
 
+    if hifi is None:
+        hifi = os.environ.get("MSIG_TRUNK_HIFI", "1") == "1"
+    if hifi:
+        # Hi-fi residual carry: the inter-block residual stream stays bf16
+        # (only conv INPUTS are int8), closing the trunk's share of the
+        # all-Pallas PSNR gap — see fc.conv3x3_adain_residual_hifi.
+        hb = hq.astype(jnp.bfloat16) * hs.reshape(-1, 1, 1).astype(jnp.bfloat16)
+        for i in range(n_res):
+            y1q = fc.conv3x3_adain_relu_requant(
+                hq, q[f"res{i}_conv1_p"], gammas[2 * i], betas[2 * i],
+                w_img=w_img)
+            hq, hb = fc.conv3x3_adain_residual_hifi(
+                y1q, hb, q[f"res{i}_conv2_p"], gammas[2 * i + 1],
+                betas[2 * i + 1], w_img=w_img)
+        return hq
     for i in range(n_res):
         y1q = fc.conv3x3_adain_relu_requant(
             hq, q[f"res{i}_conv1_p"], gammas[2 * i], betas[2 * i], w_img=w_img)

@@ -187,6 +187,63 @@ def _kernel_res(eps, cin, wp, w_img, srows, chunk, guard,
     o_ref[0, pl.ds(guard + srows, guard), :] = jnp.zeros((guard, cin), jnp.int8)
 
 
+def _kernel_res_hifi(eps, cin, wp, w_img, srows, chunk, guard,
+                     x_ref, hb_ref, w_ref, g_ref, b_ref, o_ref, ohb_ref, acc):
+    """conv3x3(int8) -> AdaIN -> +bf16 residual -> dual emit, one sample.
+
+    Hi-fi variant of :func:`_kernel_res`: the residual stream crosses
+    blocks as bf16 (``hb_ref``/``ohb_ref``) instead of int8+scale, so the
+    carried signal never round-trips through int8 — only the CONV INPUT
+    is quantized, exactly like the int8 XLA path. This is the fix for the
+    1.6 dB all-Pallas PSNR gap, which per-stage attribution pinned on the
+    trunk's quantized residual carry (VERDICT r3 directive #3;
+    tools/check_psnr_tpu.py).
+
+    Passes: (1) conv + stats, (2) hn = conv*a + d + res written ONCE as
+    the bf16 carry while reducing |hn| for the exact amax, (3) the int8
+    conv-input copy is requantized FROM the bf16 carry (so int8 is a
+    consistent quantization of the signal the next block actually adds).
+    """
+    n_chunks = srows // chunk
+    offs = [dy * wp + dx for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    valid = _valid_mask(chunk, wp, w_img)
+    n = float(w_img * w_img)
+    sums = jnp.zeros((1, cin), jnp.float32)
+    sumsq = jnp.zeros((1, cin), jnp.float32)
+    for c in range(n_chunks):
+        yc = _conv_chunk(x_ref, w_ref, cin, cin, guard + c * chunk, offs, chunk)
+        acc[pl.ds(c * chunk, chunk), :] = yc
+        xf = jnp.where(valid, yc.astype(jnp.float32), 0.0)
+        sums = sums + jnp.sum(xf, axis=0, keepdims=True)
+        sumsq = sumsq + jnp.sum(xf * xf, axis=0, keepdims=True)
+
+    mean = sums / n
+    var = jnp.maximum(sumsq / n - mean * mean, 0.0)
+    g = g_ref[0, :, :].astype(jnp.float32)
+    b = b_ref[0, :, :].astype(jnp.float32)
+    a = g * jax.lax.rsqrt(var + eps)
+    d = b - mean * a
+
+    amax = jnp.float32(0.0)
+    for c in range(n_chunks):
+        xf = acc[pl.ds(c * chunk, chunk), :].astype(jnp.float32)
+        hf = hb_ref[0, pl.ds(guard + c * chunk, chunk), :].astype(jnp.float32)
+        hn = jnp.where(valid, xf * a + d + hf, 0.0)
+        ohb_ref[0, pl.ds(guard + c * chunk, chunk), :] = hn.astype(jnp.bfloat16)
+        amax = jnp.maximum(amax, jnp.max(jnp.abs(hn)))
+    s = jnp.where(amax > 0, 127.0 / amax, 1.0)
+
+    for c in range(n_chunks):
+        hn = ohb_ref[0, pl.ds(guard + c * chunk, chunk), :].astype(jnp.float32) * s
+        q = jnp.round(jnp.clip(hn, -127.0, 127.0)).astype(jnp.int8)
+        o_ref[0, pl.ds(guard + c * chunk, chunk), :] = q
+    o_ref[0, pl.ds(0, guard), :] = jnp.zeros((guard, cin), jnp.int8)
+    o_ref[0, pl.ds(guard + srows, guard), :] = jnp.zeros((guard, cin), jnp.int8)
+    ohb_ref[0, pl.ds(0, guard), :] = jnp.zeros((guard, cin), jnp.bfloat16)
+    ohb_ref[0, pl.ds(guard + srows, guard), :] = jnp.zeros((guard, cin),
+                                                           jnp.bfloat16)
+
+
 def _kernel_up(eps, cin, cout4, wp, w_img, srows, chunk, guard,
                x_ref, w_ref, o_ref, os_ref, acc):
     """ConvT4x4s2 (9-tap phase matmul) -> IN -> ReLU -> requant, s2d out."""
@@ -300,6 +357,47 @@ def conv3x3_adain_residual_requant(y1_q, h_q, h_scale, w_packed, gamma, beta,
         interpret=_interpret(),
     )(y1_q, h_q, h_scale.reshape(bsz, 1, 1), w_packed,
       gamma[:, None, :], beta[:, None, :])
+
+
+def conv3x3_adain_residual_hifi(y1_q, h_bf16, w_packed, gamma, beta,
+                                w_img: int = 64, eps: float = _EPS,
+                                chunk_rows: int = 16):
+    """Fused resblock conv2 site with a bf16 residual carry.
+
+    Returns ``(h_int8, h_bf16_new)``: the int8 slab feeds the next conv1
+    (or the decoder), the bf16 slab is the exact residual stream for the
+    next conv2. See :func:`_kernel_res_hifi` for why.
+    """
+    wp, srows, chunk, _ = geometry(w_img, chunk_rows)
+    g = guard_rows(w_img)
+    bsz, xrows, cin = y1_q.shape
+    assert xrows == srows + 2 * g and w_packed.shape == (9 * cin, cin)
+    assert h_bf16.shape == (bsz, xrows, cin) and h_bf16.dtype == jnp.bfloat16
+    kernel = functools.partial(_kernel_res_hifi, eps, cin, wp, w_img, srows,
+                               chunk, g)
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((1, xrows, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, xrows, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * cin, cin), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, xrows, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, xrows, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, xrows, cin), jnp.int8),
+            jax.ShapeDtypeStruct((bsz, xrows, cin), jnp.bfloat16),
+        ],
+        scratch_shapes=[pltpu.VMEM((srows, cin), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=_interpret(),
+    )(y1_q, h_bf16, w_packed, gamma[:, None, :], beta[:, None, :])
 
 
 def convt4x4s2_in_relu_requant(x_q, w_packed, w_img: int, eps: float = _EPS,

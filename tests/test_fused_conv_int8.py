@@ -291,3 +291,57 @@ def test_v2_relu_site_128_matches_xla_chain():
     diff = np.abs(got.astype(np.int32) - ref.astype(np.int32))
     assert diff.max() <= 1
     assert (diff > 0).mean() < 0.01
+
+
+@pytest.mark.heavy
+def test_v2_residual_hifi_site_matches_xla_chain():
+    """Hi-fi conv2 site: bf16 residual carry in/out, int8 conv-input copy.
+
+    The residual enters and leaves as bf16 (never int8-quantized); only
+    the int8 output is a quantization — of exactly the bf16 carry.
+    """
+    from msig_tpu.ops import fused_conv_int8_v2 as f2
+
+    rng = np.random.default_rng(12)
+    b, c = 1, 256
+    y1 = rng.integers(-127, 128, (b, 64, 64, c), dtype=np.int8)
+    h = rng.normal(0, 1.5, (b, 64, 64, c)).astype(np.float32)
+    w = rng.integers(-32, 33, (3, 3, c, c), dtype=np.int8)
+    gamma = rng.normal(1.0, 0.5, (b, c)).astype(np.float32)
+    beta = rng.normal(0.0, 0.5, (b, c)).astype(np.float32)
+    hb = jnp.asarray(h).astype(jnp.bfloat16)
+
+    y = jax.lax.conv_general_dilated(
+        jnp.asarray(y1), jnp.asarray(w), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=_DN, preferred_element_type=jnp.int32)
+    z = adain_modulate(y.astype(jnp.float32), jnp.asarray(gamma), jnp.asarray(beta))
+    hn = z + hb.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(hn), axis=(1, 2, 3), keepdims=True)
+    s = jnp.where(amax > 0, 127.0 / amax, 1.0)
+    ref_hb = np.asarray(hn.astype(jnp.bfloat16).astype(jnp.float32))
+    ref_q = np.asarray(jnp.clip(
+        jnp.round(jnp.asarray(ref_hb) * s), -127, 127).astype(jnp.int8))
+
+    wp, srows, _, _ = f2.geometry(64)
+    y1q = f2.to_padded_rows(jnp.asarray(y1))
+    # bf16 carry in the same guard-padded row layout as the int8 slabs
+    hb_rows = jnp.zeros((b, 2 * f2.GUARD + srows, c), jnp.bfloat16)
+    hb_rows = hb_rows.at[:, f2.GUARD:f2.GUARD + srows].set(
+        jnp.pad(hb, ((0, 0), (0, 0), (0, 8), (0, 0))).reshape(b, srows, c))
+    out_q, out_hb = f2.conv3x3_adain_residual_hifi(
+        y1q, hb_rows, fc.pack_weights(jnp.asarray(w)), jnp.asarray(gamma),
+        jnp.asarray(beta), w_img=64)
+
+    got = np.asarray(out_q)[:, f2.GUARD:f2.GUARD + srows].reshape(b, 64, wp, c)
+    got_q = got[:, :, :64]
+    got_hb = np.asarray(out_hb.astype(jnp.float32))[
+        :, f2.GUARD:f2.GUARD + srows].reshape(b, 64, wp, c)[:, :, :64]
+
+    # bf16 carry: identical up to fp32 accumulation order inside the conv
+    np.testing.assert_allclose(got_hb, ref_hb, rtol=2e-2, atol=2e-2)
+    diff = np.abs(got_q.astype(np.int32) - ref_q.astype(np.int32))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.01
+    # guards zeroed in both outputs
+    assert not np.asarray(out_q)[:, :f2.GUARD].any()
+    assert not np.asarray(out_hb.astype(jnp.float32))[:, :f2.GUARD].any()
