@@ -49,11 +49,16 @@ import numpy as np
 # start in seconds.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
-# Supervisor knobs (seconds). Defaults sit well under typical driver
-# timeouts so the supervisor always gets to print its best-so-far line.
+# Supervisor knobs (seconds). The first-config deadline is generous
+# because a fresh machine cold-compiles the whole Pallas chain through the
+# remote-compile path (historically up to ~10 min); a genuinely stalled
+# backend is caught much earlier by the pre-flight probe, and a stall
+# mid-measurement still ends at this bound instead of hanging forever.
+# The SIGTERM handler below is the net for an external (driver) timeout
+# firing first: best-so-far still reaches stdout.
 PROBE_TIMEOUT = float(os.environ.get("MSIG_BENCH_PROBE_TIMEOUT", "120"))
-TOTAL_DEADLINE = float(os.environ.get("MSIG_BENCH_DEADLINE", "900"))
-FIRST_CONFIG_DEADLINE = float(os.environ.get("MSIG_BENCH_CONFIG_DEADLINE", "540"))
+TOTAL_DEADLINE = float(os.environ.get("MSIG_BENCH_DEADLINE", "1500"))
+FIRST_CONFIG_DEADLINE = float(os.environ.get("MSIG_BENCH_CONFIG_DEADLINE", "900"))
 NEXT_CONFIG_DEADLINE = float(os.environ.get("MSIG_BENCH_NEXT_DEADLINE", "300"))
 
 
@@ -200,9 +205,45 @@ def _reader_thread(stream, q):
     q.put(None)
 
 
+def _emit_headline(best, best_cfg, measured, args, size_tag):
+    print(f"  best: {best_cfg} ({measured} configs measured)", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"img_per_s_{size_tag}px_ref_guided_inference",
+        "value": round(best, 1),
+        "unit": "img/s/chip",
+        "vs_baseline": round(best / 2000.0, 3) if args.image_size == 256
+        else None,
+    }), flush=True)
+
+
 def supervise_inference(args, size_tag):
     """Spawn the measuring worker; enforce deadlines; print the headline."""
     t_start = time.monotonic()
+    state = {"best": 0.0, "cfg": "", "measured": 0, "proc": None}
+
+    def on_term(signum, frame):
+        # An EXTERNAL timeout (the driver wraps bench in `timeout`) beat our
+        # own deadlines: kill the worker and still put the best-so-far
+        # measurement on stdout before dying.
+        p = state["proc"]
+        if p is not None:
+            try:
+                p.send_signal(signal.SIGKILL)
+            except OSError:
+                pass
+        if state["measured"] > 0:
+            print(f"bench: external signal {signum}; reporting best-so-far",
+                  file=sys.stderr)
+            _emit_headline(state["best"], state["cfg"], state["measured"],
+                           args, size_tag)
+            sys.exit(0)
+        print(f"bench: external signal {signum} before any measurement",
+              file=sys.stderr)
+        sys.exit(1)
+
+    signal.signal(signal.SIGTERM, on_term)
+    signal.signal(signal.SIGINT, on_term)
+
     if not _probe_backend():
         print("bench: backend unreachable (pre-flight probe failed twice) — "
               "no measurement possible", file=sys.stderr)
@@ -215,6 +256,7 @@ def supervise_inference(args, size_tag):
         cmd += ["--batches", args.batches]
     proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=sys.stderr,
                             text=True, bufsize=1)
+    state["proc"] = proc
     q = queue.Queue()
     threading.Thread(target=_reader_thread, args=(proc.stdout, q),
                      daemon=True).start()
@@ -253,6 +295,7 @@ def supervise_inference(args, size_tag):
         config_deadline = NEXT_CONFIG_DEADLINE
         if rec.get("rate", 0) > best:
             best, best_cfg = rec["rate"], rec.get("config", "")
+        state.update(best=best, cfg=best_cfg, measured=measured)
 
     if stalled_msg:
         print(f"bench: worker stalled ({stalled_msg}); killing pid "
@@ -266,14 +309,7 @@ def supervise_inference(args, size_tag):
         print("bench: no config completed before the deadline — backend "
               "stalled mid-measurement", file=sys.stderr)
         sys.exit(1)
-    print(f"  best: {best_cfg} ({measured} configs measured)", file=sys.stderr)
-    print(json.dumps({
-        "metric": f"img_per_s_{size_tag}px_ref_guided_inference",
-        "value": round(best, 1),
-        "unit": "img/s/chip",
-        "vs_baseline": round(best / 2000.0, 3) if args.image_size == 256
-        else None,
-    }), flush=True)
+    _emit_headline(best, best_cfg, measured, args, size_tag)
 
 
 def bench_train(batch=32, iters=10, warmup=2, image_size=256):

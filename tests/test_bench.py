@@ -93,6 +93,43 @@ def test_unreachable_backend_fails_probe_fast():
     assert dt < 60
 
 
+@pytest.mark.slow
+def test_external_sigterm_still_reports_best_so_far():
+    # The driver wraps bench in `timeout`, which SIGTERMs on expiry. If an
+    # external timeout beats our internal deadlines, the handler must still
+    # put the best-so-far JSON on stdout (the driver parses output even
+    # when rc comes from `timeout`).
+    env = dict(os.environ)
+    env.update({
+        "MSIG_BENCH_FAKE_STALL": "after_first",
+        # internal deadlines long, so the external TERM arrives first
+        "MSIG_BENCH_NEXT_DEADLINE": "3000",
+        "MSIG_BENCH_DEADLINE": "3000",
+    })
+    proc = subprocess.Popen([sys.executable, BENCH, *FAST_ARGS], env=env,
+                            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                            text=True)
+    # Wait until the first config's result reaches the supervisor, then TERM.
+    deadline = time.monotonic() + 500
+    import threading
+    lines = []
+    def drain(s):
+        for ln in s:
+            lines.append(ln)
+    t = threading.Thread(target=drain, args=(proc.stderr,), daemon=True)
+    t.start()
+    while time.monotonic() < deadline:
+        if any("img/s" in ln for ln in lines):
+            break
+        time.sleep(1)
+    time.sleep(3)  # let the result line cross the pipe to the supervisor
+    proc.terminate()
+    out, _ = proc.communicate(timeout=60)
+    assert proc.returncode == 0, f"rc={proc.returncode} stderr={lines[-5:]}"
+    rec = parse_headline(out)
+    assert rec["value"] > 0
+
+
 def test_worker_config_order_puts_winning_config_first():
     # int8@128 carried the round-3 headline; it must run first so a stall
     # later in the sweep cannot lose the headline (VERDICT.md next-round #1c).
