@@ -59,7 +59,10 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 PROBE_TIMEOUT = float(os.environ.get("MSIG_BENCH_PROBE_TIMEOUT", "120"))
 TOTAL_DEADLINE = float(os.environ.get("MSIG_BENCH_DEADLINE", "1500"))
 FIRST_CONFIG_DEADLINE = float(os.environ.get("MSIG_BENCH_CONFIG_DEADLINE", "900"))
-NEXT_CONFIG_DEADLINE = float(os.environ.get("MSIG_BENCH_NEXT_DEADLINE", "300"))
+# Later configs are new jit programs (batch is shape-specialized) and also
+# cold-compile on a fresh machine; the timer resets per ATTEMPT (failed
+# configs emit a line too), so 600 s bounds a single config's compile.
+NEXT_CONFIG_DEADLINE = float(os.environ.get("MSIG_BENCH_NEXT_DEADLINE", "600"))
 
 
 def _sync(x) -> float:
@@ -162,6 +165,11 @@ def run_inference_worker(batch_sizes, iters=20, warmup=3, image_size=256):
         except Exception as e:  # one config failing must not kill the sweep
             print(f"  {mode} batch {bs}: FAILED ({type(e).__name__}: "
                   f"{str(e)[:200]})", file=sys.stderr)
+            # Failed configs still emit a line: the supervisor resets its
+            # per-config timer per ATTEMPT, and can tell "every config
+            # failed" apart from "worker stalled".
+            print(json.dumps({"config": f"{mode}@{bs}", "failed": True}),
+                  flush=True)
             continue
         dt = time.perf_counter() - t0
         rate = bs * iters / dt
@@ -203,6 +211,21 @@ def _reader_thread(stream, q):
     for line in stream:
         q.put(line)
     q.put(None)
+
+
+def _wait_or_kill(proc, timeout=30):
+    """Reap the worker; if teardown hangs (tunnel stall during PJRT
+    shutdown), SIGKILL it rather than crash the supervisor — at this point
+    every measurement is already in hand."""
+    try:
+        proc.wait(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        print("bench: worker hung in teardown; killing it", file=sys.stderr)
+        try:
+            proc.send_signal(signal.SIGKILL)
+            proc.wait(timeout=10)
+        except (OSError, subprocess.TimeoutExpired):
+            pass
 
 
 def _emit_headline(best, best_cfg, measured, args, size_tag):
@@ -263,6 +286,8 @@ def supervise_inference(args, size_tag):
 
     best, best_cfg = 0.0, ""
     measured = 0
+    attempted = 0
+    worker_done = False
     config_deadline = FIRST_CONFIG_DEADLINE
     stalled_msg = None
     while True:
@@ -279,7 +304,7 @@ def supervise_inference(args, size_tag):
                            f"(per-config deadline)")
             break
         if line is None:  # worker stdout closed
-            proc.wait(timeout=30)
+            _wait_or_kill(proc)
             break
         line = line.strip()
         if not line:
@@ -289,10 +314,14 @@ def supervise_inference(args, size_tag):
         except json.JSONDecodeError:
             continue
         if rec.get("done"):
-            proc.wait(timeout=30)
+            worker_done = True
+            _wait_or_kill(proc)
             break
-        measured += 1
+        attempted += 1
         config_deadline = NEXT_CONFIG_DEADLINE
+        if rec.get("failed"):
+            continue
+        measured += 1
         if rec.get("rate", 0) > best:
             best, best_cfg = rec["rate"], rec.get("config", "")
         state.update(best=best, cfg=best_cfg, measured=measured)
@@ -306,8 +335,13 @@ def supervise_inference(args, size_tag):
             pass
 
     if measured == 0:
-        print("bench: no config completed before the deadline — backend "
-              "stalled mid-measurement", file=sys.stderr)
+        if worker_done and attempted > 0:
+            print("bench: every (mode, batch) config failed — no measurement "
+                  "(see FAILED lines above; this is NOT a backend stall)",
+                  file=sys.stderr)
+        else:
+            print("bench: no config completed before the deadline — backend "
+                  "stalled mid-measurement", file=sys.stderr)
         sys.exit(1)
     _emit_headline(best, best_cfg, measured, args, size_tag)
 

@@ -354,16 +354,10 @@ def quantized_generator_apply(
             u8 = _fd.final7_tanh_u8(y1, q["final_s16"], q["out_wscale"],
                                     q["out_bias"], inv_s, w_cells=128)
             return _fd.unphase_s2d16_u8(u8, w_cells=128)
-        g = _f2.guard_rows(hh)
-        wp = hh + 8
-        body = hq_rows[:, g:g + hh * wp].reshape(bsz, hh, wp, cc)[:, :, :hh]
         # int8 with an absorbed per-sample scale — exactly what the next
         # IN-followed conv expects; skip the dequant/requant round trip.
-        h = _conv_i8(body, q["dec_up0"], 1, ((2, 2), (2, 2)), lhs_dilation=(2, 2))
-        h = jnp.maximum(instance_norm(h.astype(jnp.bfloat16)), 0)
-        h = _conv_i8(_requant(h), q["dec_up1"], 1, ((2, 2), (2, 2)), lhs_dilation=(2, 2))
-        h = jnp.maximum(instance_norm(h.astype(jnp.bfloat16)), 0)
-        return _final_conv(q, h, out_dtype)
+        return _xla_decoder(q, _rows_to_body(hq_rows, hh), out_dtype,
+                            int8_body=True)
 
     h = _xla_trunk(q, h, style, n_res, fused_epilogue=fused_epilogue)
     return _xla_decoder(q, h, out_dtype)
@@ -414,9 +408,14 @@ def _xla_trunk(q, h, style, n_res, fused_epilogue: bool = False):
     return h
 
 
-def _xla_decoder(q, h, out_dtype):
-    """bf16 trunk output -> final image (XLA int8 ConvT + final conv)."""
-    h = _conv_i8(_requant(h), q["dec_up0"], 1, ((2, 2), (2, 2)), lhs_dilation=(2, 2))
+def _xla_decoder(q, h, out_dtype, int8_body: bool = False):
+    """Trunk output -> final image (XLA int8 ConvT + final conv).
+
+    ``int8_body=True`` means ``h`` is already an int8 body with an
+    absorbed per-sample scale (e.g. straight out of the fused trunk) —
+    dec_up0 is IN-followed, so it consumes that directly."""
+    h = _conv_i8(h if int8_body else _requant(h), q["dec_up0"], 1,
+                 ((2, 2), (2, 2)), lhs_dilation=(2, 2))
     h = jnp.maximum(instance_norm(h.astype(jnp.bfloat16)), 0)
     h = _conv_i8(_requant(h), q["dec_up1"], 1, ((2, 2), (2, 2)), lhs_dilation=(2, 2))
     h = jnp.maximum(instance_norm(h.astype(jnp.bfloat16)), 0)
@@ -425,15 +424,24 @@ def _xla_decoder(q, h, out_dtype):
     return _final_conv(q, h, out_dtype)
 
 
-def _rows_to_spatial(hq_rows, hs, side: int):
-    """Inverse of ``_fused_trunk``'s packing: padded-row int8 slab + per-
-    sample inverse scale -> bf16 spatial activations [B, side, side, C]."""
+def _rows_to_body(hq_rows, side: int):
+    """Padded-row int8 slab -> spatial int8 body [B, side, side, C].
+
+    The single point of truth for undoing the v2 guard/wp row packing
+    (used by the staged hybrids and the 512^2 float fallback)."""
     from msig_tpu.ops import fused_conv_int8_v2 as fc
 
     b, c = hq_rows.shape[0], hq_rows.shape[-1]
     g = fc.guard_rows(side)
     wp = side + 8
-    body = hq_rows[:, g:g + side * wp].reshape(b, side, wp, c)[:, :, :side]
+    return hq_rows[:, g:g + side * wp].reshape(b, side, wp, c)[:, :, :side]
+
+
+def _rows_to_spatial(hq_rows, hs, side: int):
+    """Inverse of ``_fused_trunk``'s packing: padded-row int8 slab + per-
+    sample inverse scale -> bf16 spatial activations [B, side, side, C]."""
+    body = _rows_to_body(hq_rows, side)
+    b = body.shape[0]
     return body.astype(jnp.bfloat16) * hs.reshape(b, 1, 1, 1).astype(jnp.bfloat16)
 
 
@@ -478,18 +486,9 @@ def quantized_generator_apply_staged(
             # ENCODER residual scale, consumed inside the trunk); the XLA
             # decoder's dec_up0 is IN-followed, so int8 + absorbed scale is
             # exactly what it expects (same contract as the 512^2 float
-            # fallback above).
-            g = fc.guard_rows(side)
-            wp = side + 8
-            b, c = hq_rows.shape[0], hq_rows.shape[-1]
-            body = hq_rows[:, g:g + side * wp].reshape(b, side, wp, c)[:, :, :side]
-            h = _conv_i8(body, q["dec_up0"], 1, ((2, 2), (2, 2)),
-                         lhs_dilation=(2, 2))
-            h = jnp.maximum(instance_norm(h.astype(jnp.bfloat16)), 0)
-            h = _conv_i8(_requant(h), q["dec_up1"], 1, ((2, 2), (2, 2)),
-                         lhs_dilation=(2, 2))
-            h = jnp.maximum(instance_norm(h.astype(jnp.bfloat16)), 0)
-            return _final_conv(q, h, out_dtype)
+            # fallback in quantized_generator_apply).
+            return _xla_decoder(q, _rows_to_body(hq_rows, side), out_dtype,
+                                int8_body=True)
     else:
         h = _xla_trunk(q, h, style, n_res)
         if "dec" in pallas:

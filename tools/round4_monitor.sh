@@ -61,7 +61,10 @@ while true; do
     note "run AND watchdog exited at epoch $ep (<800): relaunching with resume"
     nohup env EXP=tomato_r5 bash tools/train_r4_full.sh 800 >> "$LOG" 2>&1 &
     echo $! > "$PIDFILE"
-    nohup bash tools/train_watchdog.sh "$LOG" "$PIDFILE" >> /dev/null 2>&1 &
+    # EXP/EPOCHS must reach the WATCHDOG too: its own stall-restart path
+    # invokes train_r4_full.sh, which would otherwise default to tomato_r4.
+    nohup env EXP=tomato_r5 EPOCHS=800 \
+        bash tools/train_watchdog.sh "$LOG" "$PIDFILE" >> /dev/null 2>&1 &
     echo $! > "$WD_PIDFILE"
     note "relaunched pid $(cat "$PIDFILE") watchdog $(cat "$WD_PIDFILE")"
   fi
