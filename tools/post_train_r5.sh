@@ -49,12 +49,15 @@ run bench_train_b32 python bench.py --mode train --train_batch 32 --iters 10
 
 run quality_final python tools/eval_quality.py --checkpoint "$LAST" \
     --out docs/quality_r5 --n_images 100 --domains 0 --batch_size 32
-T=14400 run trajectory python tools/eval_quality_trajectory.py \
-    --ckpt_root results/tomato_r5/checkpoints --extra_root /nonexistent \
-    --out docs/quality_r5/trajectory --n_images 50 --every 1
 run demo_export python tools/export_demo_checkpoint.py --checkpoint "$LAST" \
     --out results/tomato_r5/demo_checkpoint
 
 # CPU-only: solo timing of the quick tier on this host.
 T=1200 run quick_tier python -m pytest tests/ -q -m "not slow and not heavy"
+
+# Longest item LAST: per-checkpoint trajectory over all 16 checkpoints —
+# partial results are still useful if the round's clock runs out first.
+T=14400 run trajectory python tools/eval_quality_trajectory.py \
+    --ckpt_root results/tomato_r5/checkpoints --extra_root /nonexistent \
+    --out docs/quality_r5/trajectory --n_images 50 --every 1
 echo done | tee -a "$OUT/summary.txt"
