@@ -520,9 +520,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["inference", "train", "data", "e2e"],
                     default="inference")
-    ap.add_argument("--iters", type=int, default=20,
+    ap.add_argument("--iters", type=int, default=40,
                     help="timing iterations (inference/train modes; e2e and "
-                         "data modes measure a fixed workload)")
+                         "data modes measure a fixed workload). The device "
+                         "sync is ONE scalar readback per timed block "
+                         "(~26 ms through the tunnel); more iters amortize "
+                         "that measurement overhead out of the per-batch "
+                         "time (it is not chip work)")
     ap.add_argument("--image_size", type=int, default=256,
                     help="map size for inference/train modes (512 = BASELINE "
                          "config 5; smaller batches are auto-selected)")

@@ -192,7 +192,13 @@ def _fused_trunk_rows(q, hq, hs, style, n_res, w_img=64, v3: bool | None = None,
     gammas, betas = jnp.split(params, 2, axis=-1)            # [2n, B, C] each
 
     if hifi is None:
-        hifi = os.environ.get("MSIG_TRUNK_HIFI", "1") == "1"
+        # Opt-in (MSIG_TRUNK_HIFI=1): +1.2 dB PSNR (38.4 vs 37.2 — the
+        # bf16 residual carry, see conv3x3_adain_residual_hifi), measured
+        # ~0.7% slower at B=128 / ~2.6% at B=256 (results/logs/r5_full/
+        # bench_256{,_nohifi}.log). Default off so the stock serving path
+        # keeps the >=2,000 img/s headline; the per-stage accuracy table
+        # lives in docs/PERF.md.
+        hifi = os.environ.get("MSIG_TRUNK_HIFI", "0") == "1"
     if hifi:
         # Hi-fi residual carry: the inter-block residual stream stays bf16
         # (only conv INPUTS are int8), closing the trunk's share of the
