@@ -100,8 +100,14 @@ def prep_s2d4_input(img_u8: jax.Array) -> jax.Array:
     # of a widen-subtract-narrow chain.
     x = jax.lax.bitcast_convert_type(img_u8 ^ jnp.uint8(128), jnp.int8)
     x = jnp.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)), mode="reflect")
-    x = x.reshape(b, gc, 4, gc, 4, 3).transpose(0, 1, 3, 2, 4, 5)
-    x = x.reshape(b, gc, gc, 48)
+    # Row-phase gather instead of a 6-D byte transpose: rows r::4 of the
+    # padded image reshaped to (gc, gc, 12) are pure row-major reshapes,
+    # and the 4 phases concat on lanes. Bit-identical to the transpose
+    # formulation; measured 15% faster at 256^2 and 29% at 512^2, where
+    # the transpose hits a layout cliff (tools/bench_prep_variants.py,
+    # round-4 log in docs/PERF.md).
+    phases = [x[:, r::4].reshape(b, gc, gc, 12) for r in range(4)]
+    x = jnp.concatenate(phases, axis=-1)
     x = jnp.pad(x, ((0, 0), (0, 1), (0, wp - gc), (0, 0)))
     return x.reshape(b, in0_slab, 48)
 
