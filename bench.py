@@ -290,6 +290,7 @@ def supervise_inference(args, size_tag):
     worker_done = False
     config_deadline = FIRST_CONFIG_DEADLINE
     stalled_msg = None
+    eof_rc = None
     while True:
         remaining_total = TOTAL_DEADLINE - (time.monotonic() - t_start)
         wait = min(config_deadline, remaining_total)
@@ -305,6 +306,11 @@ def supervise_inference(args, size_tag):
             break
         if line is None:  # worker stdout closed
             _wait_or_kill(proc)
+            if not worker_done:
+                # EOF without a 'done' record = the worker crash-exited
+                # (import error, OOM, ...). Record the rc so the final
+                # diagnostic doesn't misattribute it to a tunnel stall.
+                eof_rc = proc.returncode
             break
         line = line.strip()
         if not line:
@@ -339,6 +345,10 @@ def supervise_inference(args, size_tag):
             print("bench: every (mode, batch) config failed — no measurement "
                   "(see FAILED lines above; this is NOT a backend stall)",
                   file=sys.stderr)
+        elif eof_rc is not None:
+            print(f"bench: worker exited rc={eof_rc} before any measurement "
+                  "(worker crash — see stderr above; this is NOT a backend "
+                  "stall)", file=sys.stderr)
         else:
             print("bench: no config completed before the deadline — backend "
                   "stalled mid-measurement", file=sys.stderr)

@@ -111,6 +111,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                              "runtimes each write fetches the full state "
                              "device->host, so long runs may want a sparser "
                              "cadence. The final epoch always checkpoints.")
+    parser.add_argument("--ema_snapshot_every", type=int, default=0,
+                        help="Also export a ~34 MB portable fp16 EMA (G_A2B + "
+                             "SE_B) snapshot every N epochs (inference-loadable "
+                             "demo-npz layout) — cheap enough for a dense "
+                             "quality trajectory on tunneled runtimes. "
+                             "0 disables.")
     return parser
 
 
@@ -146,6 +152,7 @@ def config_from_args(args) -> TrainConfig:
         allow_random_vgg=args.allow_random_vgg,
         watch_freq=args.watch_freq,
         checkpoint_every=args.checkpoint_every,
+        ema_snapshot_every=args.ema_snapshot_every,
     )
 
 

@@ -174,6 +174,16 @@ def _fused_trunk_rows(q, hq, hs, style, n_res, w_img=64, v3: bool | None = None,
 
     if v3 is None:
         v3 = w_img == 64 and os.environ.get("MSIG_TRUNK_V3", "0") == "1"
+    if v3 and hifi is not False and os.environ.get("MSIG_TRUNK_HIFI", "0") == "1":
+        # The v3 single-kernel trunk has no bf16 residual carry: taking the
+        # v3 branch below would silently drop the requested quality mode.
+        import warnings
+
+        warnings.warn(
+            "MSIG_TRUNK_V3=1 and MSIG_TRUNK_HIFI=1 are both set; the v3 "
+            "trunk has no hi-fi residual carry, so MSIG_TRUNK_V3 is being "
+            "IGNORED in favor of the quality mode.", stacklevel=2)
+        v3 = False
 
     # Hoist ALL style affines into one batched matmul up front so the
     # Pallas sites run back-to-back with no interleaved XLA launches.
@@ -192,7 +202,8 @@ def _fused_trunk_rows(q, hq, hs, style, n_res, w_img=64, v3: bool | None = None,
     gammas, betas = jnp.split(params, 2, axis=-1)            # [2n, B, C] each
 
     if hifi is None:
-        # Opt-in (MSIG_TRUNK_HIFI=1): +1.2 dB PSNR (38.4 vs 37.2 — the
+        # Opt-in (MSIG_TRUNK_HIFI=1): +1.5 dB PSNR on TPU (38.7 vs 37.2;
+        # CPU-interpret attribution measured 38.4 — the
         # bf16 residual carry, see conv3x3_adain_residual_hifi), measured
         # ~0.7% slower at B=128 / ~2.6% at B=256 (results/logs/r5_full/
         # bench_256{,_nohifi}.log). Default off so the stock serving path

@@ -49,6 +49,7 @@ def cfg(tiny_tree):
         style_dim=16,
         n_residual_blocks=1,
         checkpoint_every=1,
+        ema_snapshot_every=1,
         use_pallas=False,
         data_parallel=True,  # exercises the 8-device CPU mesh (batch 4... -> padded?)
     )
@@ -118,6 +119,30 @@ class TestEndToEnd:
         # jax.profiler writes a plugins/profile/<ts>/ tree with trace files
         found = [f for _, _, fs in os.walk(trace_dir) for f in fs]
         assert found, "profiler produced no files"
+
+    def test_ema_snapshot_written_and_inference_loadable(self, trained, cfg):
+        """ema_snapshot_every: fp16 npz per epoch, loadable as layout 3."""
+        from msig_tpu.config import InferenceConfig
+        from msig_tpu.infer.loading import load_inference_params
+
+        for e in (1, 2):
+            snap = os.path.join(cfg.save_dir_base, "tiny", "ema_snapshots", f"epoch_{e}")
+            assert os.path.isfile(os.path.join(snap, "ema_g_se_fp16.npz")), snap
+        snap = os.path.join(cfg.save_dir_base, "tiny", "ema_snapshots", "epoch_2")
+        icfg = InferenceConfig(style_dim=cfg.style_dim,
+                               n_residual_blocks=cfg.n_residual_blocks,
+                               image_size=cfg.image_size)
+        g, se_b, meta, used_ema = load_inference_params(snap, icfg, num_domains=3)
+        assert used_ema and meta["num_domains"] == 3 and meta["epochs"] == 2
+        want = jax.device_get(trained.state.ema_params["G_A2B"])
+        got_leaves = jax.tree.leaves(g)
+        want_leaves = jax.tree.leaves(want)
+        assert len(got_leaves) == len(want_leaves)
+        for x, y in zip(want_leaves, got_leaves):
+            # fp16 storage round-trip: exact to fp16 resolution
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-3, atol=1e-3
+            )
 
     def test_ema_differs_from_raw_after_training(self, trained):
         raw = jax.tree.leaves(jax.device_get(trained.state.gen_params))[0]

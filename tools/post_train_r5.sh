@@ -35,12 +35,15 @@ TRAIN_LOG=${TRAIN_LOG:-/tmp/train_r5.log}
 grep -o "epoch [0-9]*/[0-9]*.*" "$TRAIN_LOG" > results/tomato_r5/per_epoch_log.txt
 cp "$TRAIN_LOG" "$OUT/train_r5_raw.log" 2>/dev/null
 
-run bench_256 python bench.py
+# MSIG_TRUNK_HIFI set EXPLICITLY both ways: commit 1006774 flipped the
+# default to off after this script was first written, so the bare runs
+# and their _nohifi twins had become identical (advisor finding r4).
+run bench_256 env MSIG_TRUNK_HIFI=1 python bench.py
 run bench_256_nohifi env MSIG_TRUNK_HIFI=0 python bench.py
 run bench_512 python bench.py --image_size 512
-run psnr_attrib python tools/check_psnr_tpu.py
+run psnr_attrib env MSIG_TRUNK_HIFI=1 python tools/check_psnr_tpu.py
 run psnr_attrib_nohifi env MSIG_TRUNK_HIFI=0 python tools/check_psnr_tpu.py
-run ablate_256 env B=256 python tools/ablate_chain_r3.py
+run ablate_256 env B=256 MSIG_TRUNK_HIFI=1 python tools/ablate_chain_r3.py
 run ablate_256_nohifi env B=256 MSIG_TRUNK_HIFI=0 python tools/ablate_chain_r3.py
 run ablate_512 env SIZE=512 B=32 python tools/ablate_chain_r3.py
 run bench_e2e python bench.py --mode e2e

@@ -1,0 +1,35 @@
+#!/bin/bash
+# Round-5: re-run of the full reference-sample-budget training run.
+#
+# The round-4 run (results/tomato_r5/, 800 epochs x 125 steps @ b8 =
+# 800,000 samples, sample-budget parity with the reference's default
+# 200 epochs x 1,000 steps @ b4, /root/reference/config.py:15-16 +
+# dataset.py:90-92) lost its checkpoints to the between-rounds workspace
+# reset (results/ is gitignored). This relaunch regenerates the FULL
+# quality trajectory with a denser, cheaper artifact cadence:
+#
+#   - full Orbax checkpoint every 200 epochs (4 x ~175 s tunneled fetch)
+#     -> watchdog resume safety;
+#   - portable fp16 EMA snapshot every 50 epochs (16 x ~17 s) -> the
+#     16-checkpoint quality trajectory (VERDICT r4 directive #4) is
+#     evaluated from these after the run (inference-loadable layout 3).
+#
+# Resumes from the newest results/$EXP/checkpoints/epoch_N if present.
+set -eu
+EPOCHS=${1:-800}
+EXP=${EXP:-tomato_r6}
+RESUME_ARGS=()
+LAST=$(ls -d results/$EXP/checkpoints/epoch_* 2>/dev/null | sort -V | tail -1 || true)
+if [ -n "${LAST:-}" ]; then
+  echo "resuming from $LAST"
+  RESUME_ARGS=(--resume "$LAST")
+fi
+python main.py \
+  --source_dir /root/reference/data/src/Tomato_healthy \
+  --target_dir /root/reference/data/ref \
+  --save_dir_base results --exp_name "$EXP" \
+  "${RESUME_ARGS[@]+"${RESUME_ARGS[@]}"}" \
+  --allow_random_vgg --compute_dtype bfloat16 --image_size 256 \
+  --batch_size 8 --epochs "$EPOCHS" --save_freq 125 --device_data \
+  --checkpoint_every 200 --ema_snapshot_every 50 \
+  --no_data_parallel --seed 0

@@ -8,11 +8,13 @@
 #
 # Usage: nohup bash tools/train_watchdog.sh <logfile> <pidfile> [stall_s] &
 # Kills only the exact PID tree recorded in <pidfile> (no pattern matching).
+# LAUNCHER selects the relaunch script (default: the round-4 config).
 set -u
 LOG=${1:?logfile}
 PIDFILE=${2:?pidfile}
 STALL=${3:-900}          # normal epoch ~26s; checkpoint write ~175s; 15 min = stalled
 EPOCHS=${EPOCHS:-800}
+LAUNCHER=${LAUNCHER:-tools/train_r4_full.sh}
 while true; do
   sleep 120
   [ -f "$LOG" ] || continue
@@ -32,7 +34,7 @@ while true; do
     pkill -KILL -P "$pid" 2>/dev/null
     kill -KILL "$pid" 2>/dev/null
     sleep 5
-    nohup bash tools/train_r4_full.sh "$EPOCHS" >> "$LOG" 2>&1 &
+    nohup bash "$LAUNCHER" "$EPOCHS" >> "$LOG" 2>&1 &
     echo $! > "$PIDFILE"
     echo "$(date -u +%FT%TZ) watchdog: relaunched pid $(cat "$PIDFILE")" >> "$LOG.watchdog"
   fi
