@@ -95,7 +95,8 @@ def inference_configs(batch_sizes):
     return ordered
 
 
-def run_inference_worker(batch_sizes, iters=20, warmup=3, image_size=256):
+def run_inference_worker(batch_sizes, iters=20, warmup=3, image_size=256,
+                         modes=("int8", "bf16")):
     """Measure each (mode, batch) config; print one JSON line per result.
 
     Runs inside the worker subprocess. Lines go to stdout flushed so the
@@ -127,7 +128,8 @@ def run_inference_worker(batch_sizes, iters=20, warmup=3, image_size=256):
     bank = jax.random.normal(jax.random.PRNGKey(1), (10, 256), jnp.float32)
 
     n_ok = 0
-    for mode, bs in inference_configs(batch_sizes):
+    configs = [(m, b) for m, b in inference_configs(batch_sizes) if m in modes]
+    for mode, bs in configs:
         if mode == "bf16":
             def step(params, imgs_u8, bank, key, bs=bs):
                 styles = sample_styles(bank, "random", key, bs)
@@ -228,7 +230,29 @@ def _wait_or_kill(proc, timeout=30):
             pass
 
 
-def _emit_headline(best, best_cfg, measured, args, size_tag):
+def _emit_headline(best, best_cfg, measured, args, size_tag, rows=None):
+    if args.mode == "latency":
+        # Latency mode (VERDICT r4 #7): headline = ms per IMAGE at the
+        # smallest measured batch (the reference's interactive usage is
+        # batch 1, reference inference.py:274-290); every measured batch
+        # is reported in "rows" as ms/batch for the latency curve.
+        rows = rows or {}
+        by_bs = {int(cfg.split("@")[1]): rate for cfg, rate in rows.items()
+                 if rate}
+        if not by_bs:
+            print("bench: latency mode measured nothing", file=sys.stderr)
+            sys.exit(1)
+        bs0 = min(by_bs)
+        ms_batch = {b: round(1000.0 * b / r, 3) for b, r in sorted(by_bs.items())}
+        print(f"  latency rows (ms/batch): {ms_batch}", file=sys.stderr)
+        print(json.dumps({
+            "metric": f"latency_ms_per_img_{size_tag}px_int8_b{bs0}",
+            "value": round(1000.0 / by_bs[bs0], 3),
+            "unit": "ms",
+            "vs_baseline": None,
+            "ms_per_batch": ms_batch,
+        }), flush=True)
+        return
     print(f"  best: {best_cfg} ({measured} configs measured)", file=sys.stderr)
     print(json.dumps({
         "metric": f"img_per_s_{size_tag}px_ref_guided_inference",
@@ -242,7 +266,7 @@ def _emit_headline(best, best_cfg, measured, args, size_tag):
 def supervise_inference(args, size_tag):
     """Spawn the measuring worker; enforce deadlines; print the headline."""
     t_start = time.monotonic()
-    state = {"best": 0.0, "cfg": "", "measured": 0, "proc": None}
+    state = {"best": 0.0, "cfg": "", "measured": 0, "proc": None, "rows": {}}
 
     def on_term(signum, frame):
         # An EXTERNAL timeout (the driver wraps bench in `timeout`) beat our
@@ -258,7 +282,7 @@ def supervise_inference(args, size_tag):
             print(f"bench: external signal {signum}; reporting best-so-far",
                   file=sys.stderr)
             _emit_headline(state["best"], state["cfg"], state["measured"],
-                           args, size_tag)
+                           args, size_tag, rows=state["rows"])
             sys.exit(0)
         print(f"bench: external signal {signum} before any measurement",
               file=sys.stderr)
@@ -273,7 +297,7 @@ def supervise_inference(args, size_tag):
         sys.exit(1)
 
     cmd = [sys.executable, "-u", os.path.abspath(__file__), "--worker",
-           "--mode", "inference", "--iters", str(args.iters),
+           "--mode", args.mode, "--iters", str(args.iters),
            "--image_size", str(args.image_size)]
     if args.batches:
         cmd += ["--batches", args.batches]
@@ -330,6 +354,7 @@ def supervise_inference(args, size_tag):
         measured += 1
         if rec.get("rate", 0) > best:
             best, best_cfg = rec["rate"], rec.get("config", "")
+        state["rows"][rec.get("config", "")] = rec.get("rate", 0)
         state.update(best=best, cfg=best_cfg, measured=measured)
 
     if stalled_msg:
@@ -353,7 +378,7 @@ def supervise_inference(args, size_tag):
             print("bench: no config completed before the deadline — backend "
                   "stalled mid-measurement", file=sys.stderr)
         sys.exit(1)
-    _emit_headline(best, best_cfg, measured, args, size_tag)
+    _emit_headline(best, best_cfg, measured, args, size_tag, rows=state["rows"])
 
 
 def bench_train(batch=32, iters=10, warmup=2, image_size=256):
@@ -528,7 +553,8 @@ def bench_e2e(n_images=512, image_size=256, quantize=True):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["inference", "train", "data", "e2e"],
+    ap.add_argument("--mode",
+                    choices=["inference", "latency", "train", "data", "e2e"],
                     default="inference")
     ap.add_argument("--iters", type=int, default=40,
                     help="timing iterations (inference/train modes; e2e and "
@@ -550,7 +576,7 @@ def main():
     args = ap.parse_args()
     size_tag = str(args.image_size)
 
-    if args.mode == "inference" and not args.worker:
+    if args.mode in ("inference", "latency") and not args.worker:
         # Supervisor path: deadlines + best-so-far live OUTSIDE the process
         # that talks to the device, so a stalled RPC can't swallow them.
         supervise_inference(args, size_tag)
@@ -592,6 +618,17 @@ def main():
             "unit": "ms",
             "vs_baseline": None,
         }))
+        return
+
+    if args.mode == "latency":
+        # Small-batch latency sweep (int8 serving path only). Batches are
+        # tiny, so the per-block sync RTT would dominate at the default
+        # iter count — scale iterations up.
+        batch_sizes = (tuple(int(b) for b in args.batches.split(","))
+                       if args.batches else (1, 4, 16))
+        run_inference_worker(batch_sizes=batch_sizes,
+                             iters=max(args.iters, 100),
+                             image_size=args.image_size, modes=("int8",))
         return
 
     if args.batches:

@@ -192,6 +192,12 @@ class InferenceEngine:
             )
 
             out_dtype = jnp.uint8 if self.out_uint8 else jnp.float32
+            # fused_trunk: None = auto (Pallas on real TPU, XLA on CPU).
+            # cfg.use_pallas=True FORCES the fused Pallas kernels — on CPU
+            # they run in interpret mode, which is how the multichip dryrun
+            # and tests certify the exact shipped serving config (fused
+            # int8 Pallas under shard_map) without real chips.
+            force_fused = True if gen.use_pallas else None
             apply_q = quantized_generator_apply
             if self.mesh is not None:
                 # Pallas kernels are not GSPMD-partitionable; run the whole
@@ -205,7 +211,8 @@ class InferenceEngine:
                 q = replicate(self.mesh, q)
                 apply_q = shard_map(
                     lambda qq, im, st: quantized_generator_apply(
-                        qq, im, st, n_res=n_res, out_dtype=out_dtype),
+                        qq, im, st, n_res=n_res, out_dtype=out_dtype,
+                        fused_trunk=force_fused),
                     mesh=self.mesh,
                     in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
                     out_specs=P(DATA_AXIS),
@@ -224,7 +231,7 @@ class InferenceEngine:
                     return apply_q(q, imgs_u8, styles.astype(jnp.float32))
                 return apply_q(
                     q, imgs_u8, styles.astype(jnp.float32), n_res=n_res,
-                    out_dtype=out_dtype,
+                    out_dtype=out_dtype, fused_trunk=force_fused,
                 )
 
             return jax.jit(generate_q, donate_argnums=(1,))

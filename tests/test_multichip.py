@@ -155,6 +155,45 @@ class TestDataParallelInference:
             self._run(single, imgs.copy()), self._run(dp, imgs.copy()),
             rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.heavy
+    def test_int8_fused_pallas_path_under_shard_map(self):
+        """The SHIPPED serving config — fused int8 Pallas kernels — under
+        shard_map on the virtual 8-mesh (VERDICT r4 #6).
+
+        use_pallas=True forces the all-Pallas generator body (fused encoder
+        -> trunk -> decoder) in Pallas interpret mode on the CPU devices;
+        256^2 is the shape the kernel grid is built for. Must match the
+        single-device run of the same kernels exactly (per-sample nets).
+        """
+        from msig_tpu.config import InferenceConfig
+        from msig_tpu.infer import InferenceEngine
+        from msig_tpu.models import MultiDomainStyleEncoder, StyleCycleGANGenerator
+
+        rng = jax.random.PRNGKey(0)
+        gen = StyleCycleGANGenerator(style_dim=16, n_residual_blocks=1, use_pallas=False)
+        se = MultiDomainStyleEncoder(style_dim=16, num_domains=2)
+        img = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        style = jnp.zeros((1, 16), jnp.float32)
+        gp = gen.init(rng, img, style)
+        sp = se.init(rng, img, jnp.zeros((1,), jnp.int32))
+
+        def build(dp):
+            cfg = InferenceConfig(
+                image_size=256, style_dim=16, n_residual_blocks=1, batch_size=8,
+                compute_dtype="float32", use_pallas=True, quantize="int8",
+                data_parallel=dp,
+            )
+            return InferenceEngine.build(cfg, 2, gp, sp)
+
+        single, dp = build(False), build(True)
+        assert dp.mesh is not None and dp.mesh.devices.size == 8
+        imgs = np.random.default_rng(5).integers(
+            0, 256, (8, 256, 256, 3), dtype=np.uint8)
+        a = self._run(single, imgs.copy())
+        b = self._run(dp, imgs.copy())
+        assert np.isfinite(np.asarray(a, np.float32)).all()
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_partial_batch_on_mesh(self):
         """5 images with batch 8 on the mesh: padded on device, 5 outputs."""
         _, dp = self._engines()
