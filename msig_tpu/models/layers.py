@@ -11,11 +11,18 @@ inits (/root/reference/model.py).
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+
+def _conv_vjp_enabled() -> bool:
+    """MSIG_CONV_VJP=1 routes supported 3x3 convs through the fused Pallas
+    backward (ops/conv3x3_vjp.py). Checked at trace time."""
+    return os.environ.get("MSIG_CONV_VJP", "0") == "1"
 
 
 def _uniform_init(bound: float):
@@ -70,9 +77,25 @@ class TorchConv(nn.Module):
             x = jnp.pad(x, ((0, 0), pad[0], pad[1], (0, 0)), mode="reflect")
             pad = ((0, 0), (0, 0))
         dtype = self.dtype or x.dtype
+        xc, kc = x.astype(dtype), kernel.astype(dtype)
+        if _conv_vjp_enabled():
+            from msig_tpu.ops import conv3x3_vjp
+
+            if conv3x3_vjp.supported(
+                xc.shape, kernel.shape, self.strides, pad, self.pad_mode
+            ):
+                # Fused Pallas backward (dx + dW in one data pass) for the
+                # trunk's 3x3 sites — the train step's dominant backward
+                # slab (ops/conv3x3_vjp.py; opt-in via MSIG_CONV_VJP=1).
+                y = conv3x3_vjp.conv3x3_same(xc, kc)
+                if self.use_bias:
+                    bound = 1.0 / math.sqrt(k * k * cin)
+                    bias = self.param("bias", _uniform_init(bound), (self.features,))
+                    y = y + bias.astype(y.dtype)
+                return y
         y = jax.lax.conv_general_dilated(
-            x.astype(dtype),
-            kernel.astype(dtype),
+            xc,
+            kc,
             window_strides=(self.strides, self.strides),
             padding=pad,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -1,0 +1,186 @@
+"""Fused Pallas backward (dx + dW in one pass) for 3x3 stride-1 SAME convs.
+
+Why this exists (VERDICT r4 #1): the b32 train step sits AT the no-overlap
+roofline sum (docs/PERF.md "Train step, batch 32"), and its dominant slab is
+the generator-trunk conv3x3 backward — ~80 site-calls per step (8 resblocks
+x 2 convs x 5 differentiated generator forwards, reference trainer.py:91-128
+-> msig_tpu/train/step.py). XLA lowers each site to TWO kernels (dgrad +
+wgrad) that each re-read the big activation slabs from HBM; this kernel
+computes BOTH cotangents in ONE pass over the data:
+
+    read  x, dy          (once)
+    write dx, dW-partial (once)
+
+with the per-image slabs resident in VMEM and the next image's slabs
+prefetched by the Pallas grid pipeline while the MXU works — the
+compute/memory overlap the roofline analysis priced.
+
+Math (NHWC, HWIO, stride 1, zero SAME padding):
+    y[p]  = sum_t x[p + off_t] @ W_t          W_t = W[di, dj] in [Cin, Cout]
+    dx[q] = sum_t dy[q - off_t] @ W_t^T
+    dW_t  = sum_p x[p + off_t]^T dy[p]
+
+Both reductions run as MXU matmuls over zero-padded flattened slabs
+(8 pad columns between rows + 2 guard rows, same trick as the int8 forward
+kernels in ops/fused_conv_int8_v2.py) so the 9 tap shifts become plain row
+offsets and SAME-padding boundary zeros are automatic.
+
+The reference delegates this compute to cuDNN (reference model.py:38-55 ->
+torch autograd); it has no custom backward of its own.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+# Padded geometry: W -> WP = W + 8 zero columns; 2 guard rows top/bottom
+# (tap row-offsets reach +-(WP+1) from any body row).
+_GUARD = 2
+
+
+def _geom(h: int, w: int):
+    wp = w + 8
+    rows = (h + 2 * _GUARD) * wp
+    body0 = _GUARD * wp
+    return wp, rows, body0
+
+
+def _bwd_kernel(x_ref, dy_ref, wt_ref, dx_ref, dw_ref, xp_ref, dyp_ref,
+                *, h, w, c, cout, rows_per_chunk):
+    """One grid step = one image; dw accumulates across the grid."""
+    b = pl.program_id(0)
+    wp, rows, body0 = _geom(h, w)
+    n_body = h * wp
+
+    # Zero the padded slabs once; later steps only overwrite body columns.
+    @pl.when(b == 0)
+    def _():
+        xp_ref[...] = jnp.zeros_like(xp_ref)
+        dyp_ref[...] = jnp.zeros_like(dyp_ref)
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    # Stage the image body into the padded slabs (strided VMEM store; the
+    # pad columns / guard rows keep their zeros).
+    xp_ref[_GUARD:_GUARD + h, :w, :] = x_ref[0]
+    dyp_ref[_GUARD:_GUARD + h, :w, :] = dy_ref[0]
+
+    xf = xp_ref[...].reshape(rows, c)
+    dyf = dyp_ref[...].reshape(rows, cout)
+
+    # Tap row-offsets in the flattened padded slab.
+    offs = [(di - 1) * wp + (dj - 1) for di in range(3) for dj in range(3)]
+
+    # dx in row-chunks: 9 taps of [chunk, Cout] @ [Cout, Cin] accumulated
+    # fp32, then stored without the pad columns.
+    for r0 in range(0, h, rows_per_chunk):
+        q0 = body0 + r0 * wp
+        chunk = rows_per_chunk * wp
+        acc = jnp.zeros((chunk, c), jnp.float32)
+        for t, off in enumerate(offs):
+            dy_sl = jax.lax.dynamic_slice(dyf, (q0 - off, 0), (chunk, cout))
+            acc = acc + jax.lax.dot(
+                dy_sl, wt_ref[t], preferred_element_type=jnp.float32)
+        acc = acc.reshape(rows_per_chunk, wp, c)
+        dx_ref[0, r0:r0 + rows_per_chunk] = (
+            acc[:, :w, :].astype(dx_ref.dtype))
+
+    # dW: 9 taps of [Cin, N] @ [N, Cout] over the whole body at once.
+    dy_b = jax.lax.dynamic_slice(dyf, (body0, 0), (n_body, cout))
+    for t, off in enumerate(offs):
+        x_sl = jax.lax.dynamic_slice(xf, (body0 + off, 0), (n_body, c))
+        part = jax.lax.dot_general(
+            x_sl, dy_b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dw_ref[t] = dw_ref[t] + part
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def conv3x3_bwd(x, w, dy, interpret=None):
+    """(dx, dw) for y = conv3x3_same(x, w); NHWC x [B,H,W,C], HWIO w."""
+    b, h, wd, c = x.shape
+    cout = w.shape[-1]
+    # W_t^T stacked: [9, Cout, Cin]
+    wt = jnp.transpose(w.reshape(9, c, cout), (0, 2, 1)).astype(dy.dtype)
+
+    dx, dw = pl.pallas_call(
+        functools.partial(_bwd_kernel, h=h, w=wd, c=c, cout=cout,
+                          rows_per_chunk=8),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, wd, c), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h, wd, cout), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((9, cout, c), lambda i: (0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, h, wd, c), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((9, c, cout), lambda i: (0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, wd, c), x.dtype),
+            jax.ShapeDtypeStruct((9, c, cout), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((h + 2 * _GUARD, wd + 8, c), x.dtype),
+            pltpu.VMEM((h + 2 * _GUARD, wd + 8, cout), dy.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret() if interpret is None else interpret,
+    )(x, dy, wt)
+
+    return dx, dw.reshape(3, 3, c, cout)
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper: XLA forward (MXU-optimal), Pallas fused backward.
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def conv3x3_same(x, w):
+    """3x3 stride-1 SAME conv, NHWC/HWIO — forward on XLA."""
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _fwd(x, w):
+    return conv3x3_same(x, w), (x, w)
+
+
+def _bwd(res, dy):
+    x, w = res
+    dx, dw = conv3x3_bwd(x, w, dy)
+    return dx, dw.astype(w.dtype)
+
+
+conv3x3_same.defvjp(_fwd, _bwd)
+
+
+def supported(x_shape, kernel_shape, strides, padding, pad_mode) -> bool:
+    """True when (shape, stride, padding) is in this kernel's domain:
+    3x3, stride 1, symmetric zero SAME padding, lane-aligned channels, a
+    square map whose padded slabs fit the VMEM budget (the trunk's 64x64
+    and the 512^2 config's 128x128)."""
+    kh, kw, cin, cout = kernel_shape
+    if (kh, kw) != (3, 3) or strides != 1:
+        return False
+    if pad_mode != "zeros" or padding != ((1, 1), (1, 1)):
+        return False
+    if cin % 128 or cout % 128:
+        return False
+    b, h, w, c = x_shape
+    if c != cin or h != w or h % 8:
+        return False
+    wp, rows, _ = _geom(h, w)
+    slab_bytes = rows * (cin + cout) * 2
+    return slab_bytes < 24 * 1024 * 1024
