@@ -174,7 +174,7 @@ def _fused_trunk_rows(q, hq, hs, style, n_res, w_img=64, v3: bool | None = None,
 
     if v3 is None:
         v3 = w_img == 64 and os.environ.get("MSIG_TRUNK_V3", "0") == "1"
-    if v3 and hifi is not False and os.environ.get("MSIG_TRUNK_HIFI", "0") == "1":
+    if v3 and hifi is not False and os.environ.get("MSIG_TRUNK_HIFI", "0") != "0":
         # The v3 single-kernel trunk has no bf16 residual carry: taking the
         # v3 branch below would silently drop the requested quality mode.
         import warnings
@@ -202,14 +202,34 @@ def _fused_trunk_rows(q, hq, hs, style, n_res, w_img=64, v3: bool | None = None,
     gammas, betas = jnp.split(params, 2, axis=-1)            # [2n, B, C] each
 
     if hifi is None:
-        # Opt-in (MSIG_TRUNK_HIFI=1): +1.5 dB PSNR on TPU (38.7 vs 37.2;
-        # CPU-interpret attribution measured 38.4 — the
-        # bf16 residual carry, see conv3x3_adain_residual_hifi), measured
-        # ~0.7% slower at B=128 / ~2.6% at B=256 (results/logs/r5_full/
-        # bench_256{,_nohifi}.log). Default off so the stock serving path
-        # keeps the >=2,000 img/s headline; the per-stage accuracy table
-        # lives in docs/PERF.md.
-        hifi = os.environ.get("MSIG_TRUNK_HIFI", "0") == "1"
+        # Quality modes for the inter-block residual carry
+        # (MSIG_TRUNK_HIFI, default 0 = stock int8+scale carry, 37.2 dB):
+        #   1 = bf16 carry (conv3x3_adain_residual_hifi): +1.5 dB PSNR on
+        #       TPU (38.7 vs 37.2; CPU-interpret attribution measured 38.4)
+        #       at ~0.7% slower @B=128 / ~2.6% @B=256 (results/logs/
+        #       r5_full/bench_256{,_nohifi}.log) — writes int8 conv copy +
+        #       bf16 residual = 3 B/elem between blocks.
+        #   2 = 2x-int8 error-plane carry (conv3x3_adain_residual_hifi2,
+        #       VERDICT r4 #2): ~15-bit residual at 2 B/elem — hi-fi
+        #       fidelity at roughly half the bf16 carry's traffic tax.
+        # Defaults and the measured table live in docs/PERF.md.
+        hifi = os.environ.get("MSIG_TRUNK_HIFI", "0")
+        hifi = int(hifi) if hifi in ("0", "1", "2") else 1
+    elif hifi is True:
+        hifi = 1
+    if hifi == 2:
+        # Error-plane residual carry: (h1 + h2/254) * hs, h1 doubles as the
+        # next conv1's int8 input — see fc._kernel_res_hifi2.
+        h2 = jnp.zeros_like(hq)
+        hs_b = hs.reshape(-1, 1, 1).astype(jnp.float32)
+        for i in range(n_res):
+            y1q = fc.conv3x3_adain_relu_requant(
+                hq, q[f"res{i}_conv1_p"], gammas[2 * i], betas[2 * i],
+                w_img=w_img)
+            hq, h2, hs_b = fc.conv3x3_adain_residual_hifi2(
+                y1q, hq, h2, hs_b, q[f"res{i}_conv2_p"], gammas[2 * i + 1],
+                betas[2 * i + 1], w_img=w_img)
+        return hq
     if hifi:
         # Hi-fi residual carry: the inter-block residual stream stays bf16
         # (only conv INPUTS are int8), closing the trunk's share of the

@@ -244,6 +244,67 @@ def _kernel_res_hifi(eps, cin, wp, w_img, srows, chunk, guard,
                                                            jnp.bfloat16)
 
 
+def _kernel_res_hifi2(eps, cin, wp, w_img, srows, chunk, guard,
+                      x_ref, h1_ref, h2_ref, hs_ref, w_ref, g_ref, b_ref,
+                      o1_ref, o2_ref, os_ref, acc, hnb):
+    """conv3x3(int8) -> AdaIN -> +2xint8 residual -> dual-plane requant.
+
+    Error-plane variant of :func:`_kernel_res_hifi` (VERDICT r4 #2): the
+    residual stream crosses blocks as TWO int8 planes under one per-sample
+    scale — value = (q1 + q2/254) * hs — i.e. ~15 significant bits vs the
+    bf16 carry's 8, while writing 2 B/elem (q1 feeds the next conv1 AND
+    anchors the residual; the bf16 carry writes 3 B/elem: int8 conv copy +
+    bf16 residual). q2 = round((hn*s - q1) * 254) with q1 = round(hn*s),
+    so the encoded error is in [-127, 127] wherever q1 is unclipped.
+
+    Passes mirror :func:`_kernel_res`: (1) conv + stats, (2) hn = conv*a +
+    d + (h1 + h2/254)*hs into an fp32 scratch while reducing |hn| for the
+    exact amax, (3) dual-plane quantize + store from the scratch.
+    """
+    n_chunks = srows // chunk
+    offs = [dy * wp + dx for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    valid = _valid_mask(chunk, wp, w_img)
+    n = float(w_img * w_img)
+    sums = jnp.zeros((1, cin), jnp.float32)
+    sumsq = jnp.zeros((1, cin), jnp.float32)
+    for c in range(n_chunks):
+        yc = _conv_chunk(x_ref, w_ref, cin, cin, guard + c * chunk, offs, chunk)
+        acc[pl.ds(c * chunk, chunk), :] = yc
+        xf = jnp.where(valid, yc.astype(jnp.float32), 0.0)
+        sums = sums + jnp.sum(xf, axis=0, keepdims=True)
+        sumsq = sumsq + jnp.sum(xf * xf, axis=0, keepdims=True)
+
+    mean = sums / n
+    var = jnp.maximum(sumsq / n - mean * mean, 0.0)
+    g = g_ref[0, :, :].astype(jnp.float32)
+    b = b_ref[0, :, :].astype(jnp.float32)
+    a = g * jax.lax.rsqrt(var + eps)
+    d = b - mean * a
+    hs = hs_ref[0, 0, 0]
+    hs2 = hs * jnp.float32(1.0 / 254.0)
+
+    amax = jnp.float32(0.0)
+    for c in range(n_chunks):
+        xf = acc[pl.ds(c * chunk, chunk), :].astype(jnp.float32)
+        h1 = h1_ref[0, pl.ds(guard + c * chunk, chunk), :].astype(jnp.float32)
+        h2 = h2_ref[0, pl.ds(guard + c * chunk, chunk), :].astype(jnp.float32)
+        hn = jnp.where(valid, xf * a + d + h1 * hs + h2 * hs2, 0.0)
+        hnb[pl.ds(c * chunk, chunk), :] = hn
+        amax = jnp.maximum(amax, jnp.max(jnp.abs(hn)))
+    s = jnp.where(amax > 0, 127.0 / amax, 1.0)
+    os_ref[0, 0, 0] = jnp.where(amax > 0, amax / 127.0, 1.0)
+
+    for c in range(n_chunks):
+        t = hnb[pl.ds(c * chunk, chunk), :] * s
+        q1f = jnp.round(jnp.clip(t, -127.0, 127.0))
+        q2 = jnp.round(jnp.clip((t - q1f) * 254.0, -127.0, 127.0))
+        o1_ref[0, pl.ds(guard + c * chunk, chunk), :] = q1f.astype(jnp.int8)
+        o2_ref[0, pl.ds(guard + c * chunk, chunk), :] = q2.astype(jnp.int8)
+    for o in (o1_ref, o2_ref):
+        o[0, pl.ds(0, guard), :] = jnp.zeros((guard, cin), jnp.int8)
+        o[0, pl.ds(guard + srows, guard), :] = jnp.zeros((guard, cin), jnp.int8)
+
+
 def _kernel_up(eps, cin, cout4, wp, w_img, srows, chunk, guard,
                x_ref, w_ref, o_ref, os_ref, acc):
     """ConvT4x4s2 (9-tap phase matmul) -> IN -> ReLU -> requant, s2d out."""
@@ -398,6 +459,54 @@ def conv3x3_adain_residual_hifi(y1_q, h_bf16, w_packed, gamma, beta,
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=_interpret(),
     )(y1_q, h_bf16, w_packed, gamma[:, None, :], beta[:, None, :])
+
+
+def conv3x3_adain_residual_hifi2(y1_q, h1_q, h2_q, h_scale, w_packed, gamma,
+                                 beta, w_img: int = 64, eps: float = _EPS,
+                                 chunk_rows: int = 16):
+    """Fused resblock conv2 site with a 2x-int8 error-plane residual carry.
+
+    Returns ``(h1_int8, h2_int8, scale)``: h1 feeds the next conv1 (or the
+    decoder) exactly like the stock path's slab; (h1 + h2/254) * scale is
+    the high-precision residual for the next conv2. See
+    :func:`_kernel_res_hifi2`.
+    """
+    wp, srows, chunk, _ = geometry(w_img, chunk_rows)
+    g = guard_rows(w_img)
+    bsz, xrows, cin = y1_q.shape
+    assert xrows == srows + 2 * g and w_packed.shape == (9 * cin, cin)
+    assert h1_q.shape == h2_q.shape == (bsz, xrows, cin)
+    kernel = functools.partial(_kernel_res_hifi2, eps, cin, wp, w_img, srows,
+                               chunk, g)
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((1, xrows, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, xrows, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, xrows, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((9 * cin, cin), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, xrows, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, xrows, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, xrows, cin), jnp.int8),
+            jax.ShapeDtypeStruct((bsz, xrows, cin), jnp.int8),
+            jax.ShapeDtypeStruct((bsz, 1, 1), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((srows, cin), jnp.int32),
+                        pltpu.VMEM((srows, cin), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=_interpret(),
+    )(y1_q, h1_q, h2_q, h_scale.reshape(bsz, 1, 1), w_packed,
+      gamma[:, None, :], beta[:, None, :])
 
 
 def convt4x4s2_in_relu_requant(x_q, w_packed, w_img: int, eps: float = _EPS,

@@ -52,6 +52,24 @@ from msig_tpu.ops.fused_conv_int8_v2 import (
 )
 
 _EPS = 1e-5
+
+# --- HBM-staged accumulator precision (VERDICT r4 #3) ---------------------
+# The 128-grid enc0/up1 sites stage a 71 MB int32 accumulator slab through
+# HBM. MSIG_STAGE_FP16=1 stages it as fp16 x 2^-12 instead: HALF the
+# round-trip traffic. IN statistics stay exact (computed from the int32
+# chunks before the drain); only the requant input carries the fp16
+# staging noise — ~2^-11 relative, <= 1/16 of an int8 code step
+# (PSNR-gated by tools/check_psnr_tpu.py and the 512^2 slab tests).
+# Max |acc| is < 127*127*9*512 ~= 7.5e7; x 2^-12 keeps it < 2e4, inside
+# fp16 range with full mantissa precision.
+STAGE_SCALE = float(2.0 ** -12)
+
+
+def stage_dtype():
+    import os
+
+    return (jnp.float16 if os.environ.get("MSIG_STAGE_FP16", "0") == "1"
+            else jnp.int32)
 WP = 72
 SROWS = 64 * WP          # 4608
 CHUNK = 16 * WP          # 1152
@@ -279,13 +297,19 @@ def _kernel_up1_conv_hbm(guard, wp, w_cells, chunk, n_chunks,
     sumsq = jnp.zeros((1, 1024), jnp.float32)
     cmin = jnp.zeros((1, 1024), jnp.float32)
     cmax = jnp.zeros((1, 1024), jnp.float32)
+    fp16 = buf.dtype == jnp.float16
     pending = [None, None]
     for c in range(n_chunks):
         slot = c % 2
         if pending[slot] is not None:
             pending[slot].wait()
         yc = _up1_conv_chunk(x_ref, w_ref, guard + c * chunk, chunk, wp)
-        buf[slot] = yc
+        if fp16:
+            # fp16 x 2^-12 staging (see STAGE_SCALE): stats stay exact.
+            buf[slot] = (yc.astype(jnp.float32)
+                         * jnp.float32(STAGE_SCALE)).astype(jnp.float16)
+        else:
+            buf[slot] = yc
         dma = pltpu.make_async_copy(
             buf.at[slot],
             acc_hbm.at[i, pl.ds(c * chunk, chunk), :],
@@ -369,6 +393,7 @@ def up1_s2d16_hbm(x_q: jax.Array, w_packed: jax.Array, w_cells: int = 128,
     assert xrows == srows + 2 * g and cin == 512, (x_q.shape, w_cells)
     assert w_packed.shape == (16 * 4 * 128, 64)
 
+    stage_dt = stage_dtype()
     acc, stats = pl.pallas_call(
         functools.partial(_kernel_up1_conv_hbm, g, wp, w_cells, chunk,
                           n_chunks),
@@ -385,11 +410,11 @@ def up1_s2d16_hbm(x_q: jax.Array, w_packed: jax.Array, w_cells: int = 128,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, srows, 1024), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, srows, 1024), stage_dt),
             jax.ShapeDtypeStruct((bsz, 4, 1024), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, 1024), jnp.int32),
+            pltpu.VMEM((2, chunk, 1024), stage_dt),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -398,6 +423,9 @@ def up1_s2d16_hbm(x_q: jax.Array, w_packed: jax.Array, w_cells: int = 128,
     )(x_q, w_packed)
 
     ad, inv_s = _up1_scales(stats, float((4 * w_cells) ** 2), eps)
+    if stage_dt == jnp.float16:
+        # Fold the staging pre-scale's inverse into a2 (zero kernel ops).
+        ad = ad.at[:, 0, :].multiply(1.0 / STAGE_SCALE)
 
     slab = pl.pallas_call(
         functools.partial(_kernel_up1_rq_hbm, g, wp, w_cells, chunk,
@@ -412,7 +440,7 @@ def up1_s2d16_hbm(x_q: jax.Array, w_packed: jax.Array, w_cells: int = 128,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, xrows, 1024), jnp.int8),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, 1024), jnp.int32),
+            pltpu.VMEM((2, chunk, 1024), stage_dt),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
