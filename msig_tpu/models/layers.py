@@ -62,6 +62,10 @@ class TorchConv(nn.Module):
     pad_mode: str = "zeros"
     use_bias: bool = True
     dtype: Optional[jnp.dtype] = None
+    # Apply relu to the INPUT before convolving (semantically identical to
+    # nn.relu followed by the conv). Lets the fused Pallas backward absorb
+    # the relu mask into its dx epilogue (ops/conv3x3_vjp.relu_conv3x3).
+    pre_relu: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -87,12 +91,15 @@ class TorchConv(nn.Module):
                 # Fused Pallas backward (dx + dW in one data pass) for the
                 # trunk's 3x3 sites — the train step's dominant backward
                 # slab (ops/conv3x3_vjp.py; opt-in via MSIG_CONV_VJP=1).
-                y = conv3x3_vjp.conv3x3_same(xc, kc)
+                y = (conv3x3_vjp.relu_conv3x3(xc, kc) if self.pre_relu
+                     else conv3x3_vjp.conv3x3_same(xc, kc))
                 if self.use_bias:
                     bound = 1.0 / math.sqrt(k * k * cin)
                     bias = self.param("bias", _uniform_init(bound), (self.features,))
                     y = y + bias.astype(y.dtype)
                 return y
+        if self.pre_relu:
+            xc = jax.nn.relu(xc)
         y = jax.lax.conv_general_dilated(
             xc,
             kc,

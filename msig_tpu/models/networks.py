@@ -73,8 +73,10 @@ class AdaINResBlock(nn.Module):
     def __call__(self, x: jax.Array, style: jax.Array) -> jax.Array:
         h = TorchConv(self.channels, 3, padding=1, dtype=self.dtype, name="conv1")(x)
         h = AdaIN(self.channels, self.dtype, self.use_pallas, name="adain1")(h, style)
-        h = nn.relu(h)
-        h = TorchConv(self.channels, 3, padding=1, dtype=self.dtype, name="conv2")(h)
+        # relu folded into conv2 (pre_relu) so the fused Pallas backward can
+        # absorb the mask into its dx epilogue; identical math either way.
+        h = TorchConv(self.channels, 3, padding=1, dtype=self.dtype,
+                      pre_relu=True, name="conv2")(h)
         h = AdaIN(self.channels, self.dtype, self.use_pallas, name="adain2")(h, style)
         return h + x
 

@@ -56,8 +56,14 @@ def _geom(h: int, w: int):
 
 
 def _bwd_kernel(x_ref, dy_ref, wt_ref, dx_ref, dw_ref, xp_ref, dyp_ref,
-                *, h, w, c, cout, rows_per_chunk):
-    """One grid step = one image; dw accumulates across the grid."""
+                *, h, w, c, cout, rows_per_chunk, relu_input=False):
+    """One grid step = one image; dw accumulates across the grid.
+
+    ``relu_input=True`` treats ``x_ref`` as PRE-relu: the staged slab holds
+    relu(x) (what the conv consumed) and dx gets the relu mask applied in
+    the epilogue — the mask is derived from the already-resident slab, so
+    XLA's separate mask kernel (3 slab round-trips per site) disappears.
+    """
     b = pl.program_id(0)
     wp, rows, body0 = _geom(h, w)
     n_body = h * wp
@@ -71,7 +77,11 @@ def _bwd_kernel(x_ref, dy_ref, wt_ref, dx_ref, dw_ref, xp_ref, dyp_ref,
 
     # Stage the image body into the padded slabs (strided VMEM store; the
     # pad columns / guard rows keep their zeros).
-    xp_ref[_GUARD:_GUARD + h, :w, :] = x_ref[0]
+    if relu_input:
+        xp_ref[_GUARD:_GUARD + h, :w, :] = jnp.maximum(
+            x_ref[0], jnp.zeros((), x_ref.dtype))
+    else:
+        xp_ref[_GUARD:_GUARD + h, :w, :] = x_ref[0]
     dyp_ref[_GUARD:_GUARD + h, :w, :] = dy_ref[0]
 
     xf = xp_ref[...].reshape(rows, c)
@@ -90,6 +100,10 @@ def _bwd_kernel(x_ref, dy_ref, wt_ref, dx_ref, dw_ref, xp_ref, dyp_ref,
             dy_sl = jax.lax.dynamic_slice(dyf, (q0 - off, 0), (chunk, cout))
             acc = acc + jax.lax.dot(
                 dy_sl, wt_ref[t], preferred_element_type=jnp.float32)
+        if relu_input:
+            # relu'(x) mask from the staged slab: relu(x) > 0 <=> x > 0.
+            x_sl = jax.lax.dynamic_slice(xf, (q0, 0), (chunk, c))
+            acc = jnp.where(x_sl > 0, acc, 0.0)
         acc = acc.reshape(rows_per_chunk, wp, c)
         dx_ref[0, r0:r0 + rows_per_chunk] = (
             acc[:, :w, :].astype(dx_ref.dtype))
@@ -104,9 +118,12 @@ def _bwd_kernel(x_ref, dy_ref, wt_ref, dx_ref, dw_ref, xp_ref, dyp_ref,
         dw_ref[t] = dw_ref[t] + part
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def conv3x3_bwd(x, w, dy, interpret=None):
-    """(dx, dw) for y = conv3x3_same(x, w); NHWC x [B,H,W,C], HWIO w."""
+@functools.partial(jax.jit, static_argnames=("interpret", "relu_input"))
+def conv3x3_bwd(x, w, dy, interpret=None, relu_input=False):
+    """(dx, dw) for y = conv3x3_same(x, w); NHWC x [B,H,W,C], HWIO w.
+
+    ``relu_input=True``: x is PRE-relu; returns the backward of
+    y = conv3x3_same(relu(x), w) with the mask fused (see _bwd_kernel)."""
     b, h, wd, c = x.shape
     cout = w.shape[-1]
     # W_t^T stacked: [9, Cout, Cin]
@@ -114,7 +131,7 @@ def conv3x3_bwd(x, w, dy, interpret=None):
 
     dx, dw = pl.pallas_call(
         functools.partial(_bwd_kernel, h=h, w=wd, c=c, cout=cout,
-                          rows_per_chunk=8),
+                          rows_per_chunk=8, relu_input=relu_input),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, h, wd, c), lambda i: (i, 0, 0, 0)),
@@ -164,6 +181,29 @@ def _bwd(res, dy):
 
 
 conv3x3_same.defvjp(_fwd, _bwd)
+
+
+@jax.custom_vjp
+def relu_conv3x3(x, w):
+    """conv3x3_same(relu(x), w) with the relu backward mask fused into the
+    Pallas dx epilogue (resblock conv2 site: AdaINResBlock's relu->conv2,
+    reference model.py:48-51)."""
+    return jax.lax.conv_general_dilated(
+        jax.nn.relu(x), w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _relu_fwd(x, w):
+    return relu_conv3x3(x, w), (x, w)
+
+
+def _relu_bwd(res, dy):
+    x, w = res
+    dx, dw = conv3x3_bwd(x, w, dy, relu_input=True)
+    return dx, dw.astype(w.dtype)
+
+
+relu_conv3x3.defvjp(_relu_fwd, _relu_bwd)
 
 
 def supported(x_shape, kernel_shape, strides, padding, pad_mode) -> bool:

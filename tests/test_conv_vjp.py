@@ -66,6 +66,33 @@ class TestConvVjpKernel:
                                    np.asarray(gw_r, np.float32),
                                    atol=0.15, rtol=5e-2)
 
+    def test_relu_conv_grad_matches_xla(self):
+        """relu_conv3x3: fused relu-mask backward == relu + conv chain."""
+        from msig_tpu.ops.conv3x3_vjp import relu_conv3x3
+
+        x = _rand((2, 8, 8, 128), 8)
+        w = _rand((3, 3, 128, 128), 9, 0.05)
+
+        def ref(x, w):
+            return _lax_conv(jax.nn.relu(x), w)
+
+        np.testing.assert_array_equal(
+            np.asarray(relu_conv3x3(x, w)), np.asarray(ref(x, w)))
+
+        def loss(f):
+            return lambda x, w: jnp.sum(f(x, w).astype(jnp.float32) ** 2)
+
+        gx_p, gw_p = jax.grad(loss(relu_conv3x3), argnums=(0, 1))(x, w)
+        gx_r, gw_r = jax.grad(loss(ref), argnums=(0, 1))(x, w)
+        # identical relu-mask zeros: exact zero where x <= 0
+        assert not np.asarray(gx_p, np.float32)[np.asarray(x, np.float32) <= 0].any()
+        np.testing.assert_allclose(np.asarray(gx_p, np.float32),
+                                   np.asarray(gx_r, np.float32),
+                                   atol=0.15, rtol=5e-2)
+        np.testing.assert_allclose(np.asarray(gw_p, np.float32),
+                                   np.asarray(gw_r, np.float32),
+                                   atol=0.15, rtol=5e-2)
+
     def test_supported_domain(self):
         ok = ((2, 64, 64, 256), (3, 3, 256, 256), 1, ((1, 1), (1, 1)), "zeros")
         assert supported(*ok)

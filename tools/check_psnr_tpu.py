@@ -31,14 +31,17 @@ def main():
     from msig_tpu.train.step import prepare_images
 
     B = int(os.environ.get("B", "8"))
+    # SIZE=512 gates the 512^2 all-Pallas uint8 path (HBM-staged enc0/up1;
+    # pair with MSIG_STAGE_FP16=1 to PSNR-gate the fp16-staged accumulators).
+    size = int(os.environ.get("SIZE", "256"))
     gen = StyleCycleGANGenerator(style_dim=256, n_residual_blocks=8,
                                  dtype=jnp.bfloat16)
-    img0 = jnp.zeros((1, 256, 256, 3), jnp.bfloat16)
+    img0 = jnp.zeros((1, size, size, 3), jnp.bfloat16)
     params = gen.init(jax.random.PRNGKey(0), img0,
                       jnp.zeros((1, 256), jnp.bfloat16))
     q = quantize_generator_params(params, 8)
     rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.integers(0, 256, (B, 256, 256, 3), dtype=np.uint8))
+    img = jnp.asarray(rng.integers(0, 256, (B, size, size, 3), dtype=np.uint8))
     style = jnp.asarray(rng.normal(0, 1, (B, 256)).astype(np.float32))
 
     @jax.jit
@@ -46,15 +49,20 @@ def main():
         return gen.apply(p, prepare_images(u8, jnp.bfloat16),
                          s.astype(jnp.bfloat16)).astype(jnp.float32)
 
+    # 512^2 engages the all-Pallas HBM-staged path only for uint8 serving
+    # outputs; compare in the uint8 domain there (mapped back to [-1, 1]).
+    out_dtype = jnp.uint8 if size == 512 else jnp.float32
     fused = jax.jit(lambda q, u8, s: quantized_generator_apply(
-        q, u8, s, fused_trunk=True))
+        q, u8, s, fused_trunk=True, out_dtype=out_dtype))
     xla_i8 = jax.jit(lambda q, u8, s: quantized_generator_apply(
-        q, u8, s, fused_trunk=False))
+        q, u8, s, fused_trunk=False, out_dtype=out_dtype))
 
     ref = np.asarray(bf16_fwd(params, img, style))
 
     def psnr_of(fn):
         out = np.asarray(fn(q, img, style))
+        if out.dtype == np.uint8:
+            out = out.astype(np.float32) / 127.5 - 1.0
         mse = float(np.mean((out - ref) ** 2))
         return 10 * np.log10(4.0 / mse)  # signal range [-1, 1] -> peak 2
 
@@ -63,7 +71,7 @@ def main():
         print(f"{name}: PSNR vs bf16 = {psnr:.1f} dB "
               f"({'OK' if psnr >= 35 else 'FAIL <35'})", flush=True)
 
-    if os.environ.get("ATTRIBUTE", "1") == "1":
+    if os.environ.get("ATTRIBUTE", "1") == "1" and size == 256:
         # Per-stage attribution (VERDICT r3 directive #3): swap exactly one
         # stage between Pallas and XLA; the PSNR delta names the lossy
         # kernel. 'only <s> Pallas' isolates a stage's own contribution;

@@ -42,10 +42,19 @@ run demo_export python tools/export_demo_checkpoint.py --checkpoint "$LAST" \
 
 run bench_256 python bench.py
 run bench_256_hifi env MSIG_TRUNK_HIFI=1 python bench.py
+run bench_256_hifi2 env MSIG_TRUNK_HIFI=2 python bench.py
 run bench_512 python bench.py --image_size 512
+run bench_512_fp16stage env MSIG_STAGE_FP16=1 python bench.py --image_size 512
 run bench_latency python bench.py --mode latency
-run psnr_attrib env MSIG_TRUNK_HIFI=1 python tools/check_psnr_tpu.py
-run psnr_attrib_nohifi env MSIG_TRUNK_HIFI=0 python tools/check_psnr_tpu.py
+run psnr_hifi2 env MSIG_TRUNK_HIFI=2 python tools/check_psnr_tpu.py
+run psnr_hifi env MSIG_TRUNK_HIFI=1 python tools/check_psnr_tpu.py
+run psnr_stock env MSIG_TRUNK_HIFI=0 python tools/check_psnr_tpu.py
+run psnr_512_fp16stage env SIZE=512 B=4 MSIG_STAGE_FP16=1 ATTRIBUTE=0 python tools/check_psnr_tpu.py
+run psnr_512_stock env SIZE=512 B=4 ATTRIBUTE=0 python tools/check_psnr_tpu.py
+run trunk_epilogue python tools/bench_trunk_epilogue.py --batch 256
+run conv_vjp_micro python tools/bench_conv_vjp.py --mode micro --batch 32
 run bench_train_b8 python bench.py --mode train --train_batch 8 --iters 20
+run bench_train_b8_vjp env MSIG_CONV_VJP=1 python bench.py --mode train --train_batch 8 --iters 20
 run bench_train_b32 python bench.py --mode train --train_batch 32 --iters 10
+run bench_train_b32_vjp env MSIG_CONV_VJP=1 python bench.py --mode train --train_batch 32 --iters 10
 echo done | tee -a "$OUT/summary.txt"
