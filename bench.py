@@ -400,8 +400,10 @@ def bench_train(batch=32, iters=10, warmup=2, image_size=256):
     env = os.environ
     bf = None if "BATCH_FORWARDS" not in env else env["BATCH_FORWARDS"] == "1"
     vp = None if "VGG_PAIR" not in env else env["VGG_PAIR"] == "1"
+    gd = jnp.bfloat16 if env.get("GRAM_BF16") == "1" else jnp.float32
     step = jax.jit(make_train_step(models, tx_g, tx_d, cfg.ema_beta, jnp.bfloat16,
-                                   batch_forwards=bf, vgg_pair=vp),
+                                   batch_forwards=bf, vgg_pair=vp,
+                                   gram_dtype=gd),
                    donate_argnums=(0,))
     rng = np.random.default_rng(0)
     batch_data = {

@@ -183,6 +183,177 @@ def _bwd(res, dy):
 conv3x3_same.defvjp(_fwd, _bwd)
 
 
+def _bwd_adain_kernel(x_ref, y_ref, g_ref, wt_ref, mu_ref, r_ref, gm_ref,
+                      dx_ref, dw_ref, dg_ref, db_ref, xp_ref, dyp_ref,
+                      *, h, w, c, cout, rows_per_chunk, relu_input):
+    """Backward of z = gamma*IN(conv3x3(x or relu(x), w)) + beta, one image
+    per grid step (dw accumulates across the grid).
+
+    The AdaIN/IN backward happens IN VMEM: the incoming cotangent ``g`` and
+    the saved conv output ``y`` never round-trip through an XLA dy buffer.
+        dy = gamma*r * (g - mean(g) - yhat * mean(g*yhat))
+        dgamma = sum(g*yhat), dbeta = sum(g)   (per image, channel)
+    with yhat = (y - mu) * r, stats saved from the forward.
+    """
+    b = pl.program_id(0)
+    wp, rows, body0 = _geom(h, w)
+    n = float(h * w)
+
+    @pl.when(b == 0)
+    def _():
+        xp_ref[...] = jnp.zeros_like(xp_ref)
+        dyp_ref[...] = jnp.zeros_like(dyp_ref)
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    if relu_input:
+        xp_ref[_GUARD:_GUARD + h, :w, :] = jnp.maximum(
+            x_ref[0], jnp.zeros((), x_ref.dtype))
+    else:
+        xp_ref[_GUARD:_GUARD + h, :w, :] = x_ref[0]
+
+    # --- AdaIN backward (fp32, in VMEM) --------------------------------
+    mu = mu_ref[0, 0, :]                      # [C]
+    r = r_ref[0, 0, :]
+    gamma = gm_ref[0, 0, :]
+    gf = g_ref[0].astype(jnp.float32).reshape(h * w, cout)
+    yhat = (y_ref[0].astype(jnp.float32).reshape(h * w, cout) - mu) * r
+    sg = jnp.sum(gf, axis=0)                  # [C]
+    sgy = jnp.sum(gf * yhat, axis=0)
+    dg_ref[0, 0, :] = sgy
+    db_ref[0, 0, :] = sg
+    gr = gamma * r
+    dy = gr * (gf - sg / n - yhat * (sgy / n))
+    dyp_ref[_GUARD:_GUARD + h, :w, :] = dy.reshape(h, w, cout).astype(
+        dyp_ref.dtype)
+
+    # --- conv backward (same machinery as _bwd_kernel) -----------------
+    xf = xp_ref[...].reshape(rows, c)
+    dyf = dyp_ref[...].reshape(rows, cout)
+    offs = [(di - 1) * wp + (dj - 1) for di in range(3) for dj in range(3)]
+
+    for r0 in range(0, h, rows_per_chunk):
+        q0 = body0 + r0 * wp
+        chunk = rows_per_chunk * wp
+        acc = jnp.zeros((chunk, c), jnp.float32)
+        for t, off in enumerate(offs):
+            dy_sl = jax.lax.dynamic_slice(dyf, (q0 - off, 0), (chunk, cout))
+            acc = acc + jax.lax.dot(
+                dy_sl, wt_ref[t], preferred_element_type=jnp.float32)
+        if relu_input:
+            x_sl = jax.lax.dynamic_slice(xf, (q0, 0), (chunk, c))
+            acc = jnp.where(x_sl > 0, acc, 0.0)
+        acc = acc.reshape(rows_per_chunk, wp, c)
+        dx_ref[0, r0:r0 + rows_per_chunk] = (
+            acc[:, :w, :].astype(dx_ref.dtype))
+
+    n_body = h * wp
+    dy_b = jax.lax.dynamic_slice(dyf, (body0, 0), (n_body, cout))
+    for t, off in enumerate(offs):
+        x_sl = jax.lax.dynamic_slice(xf, (body0 + off, 0), (n_body, c))
+        part = jax.lax.dot_general(
+            x_sl, dy_b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dw_ref[t] = dw_ref[t] + part
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "relu_input"))
+def conv3x3_adain_bwd(x, w, y, mu, r, gamma, g, interpret=None,
+                      relu_input=False):
+    """(dx, dw, dgamma, dbeta) for z = gamma*IN(conv3x3([relu](x), w)) + beta.
+
+    ``y`` is the saved conv output; ``mu``/``r`` its per-(B,C) IN mean and
+    rsqrt(var+eps); ``g`` the cotangent of z (any float dtype)."""
+    b, h, wd, c = x.shape
+    cout = w.shape[-1]
+    wt = jnp.transpose(w.reshape(9, c, cout), (0, 2, 1)).astype(x.dtype)
+    mu3 = mu.reshape(b, 1, cout).astype(jnp.float32)
+    r3 = r.reshape(b, 1, cout).astype(jnp.float32)
+    gm3 = gamma.reshape(b, 1, cout).astype(jnp.float32)
+
+    dx, dw, dgm, dbt = pl.pallas_call(
+        functools.partial(_bwd_adain_kernel, h=h, w=wd, c=c, cout=cout,
+                          rows_per_chunk=8, relu_input=relu_input),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, wd, c), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h, wd, cout), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h, wd, cout), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((9, cout, c), lambda i: (0, 0, 0)),
+            pl.BlockSpec((1, 1, cout), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, cout), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, cout), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, h, wd, c), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((9, c, cout), lambda i: (0, 0, 0)),
+            pl.BlockSpec((1, 1, cout), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, cout), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, wd, c), x.dtype),
+            jax.ShapeDtypeStruct((9, c, cout), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, cout), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, cout), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((h + 2 * _GUARD, wd + 8, c), x.dtype),
+            pltpu.VMEM((h + 2 * _GUARD, wd + 8, cout), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret() if interpret is None else interpret,
+    )(x, y, g, wt, mu3, r3, gm3)
+
+    return (dx, dw.reshape(3, 3, c, cout),
+            dgm.reshape(b, cout), dbt.reshape(b, cout))
+
+
+_IN_EPS = 1e-5  # torch nn.InstanceNorm2d default (ops/norm.py)
+
+
+def _adain_unit_fwd_impl(x, w, gamma, beta, relu_input):
+    xin = jax.nn.relu(x) if relu_input else x
+    y = jax.lax.conv_general_dilated(
+        xin, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    yf = y.astype(jnp.float32)
+    mu = jnp.mean(yf, axis=(1, 2))                       # [B, C]
+    var = jnp.mean(jnp.square(yf - mu[:, None, None, :]), axis=(1, 2))
+    r = jax.lax.rsqrt(var + _IN_EPS)
+    scale = (gamma.astype(jnp.float32) * r)[:, None, None, :]
+    shift = (beta.astype(jnp.float32) - mu * gamma.astype(jnp.float32) * r)[
+        :, None, None, :]
+    z = (yf * scale + shift).astype(x.dtype)
+    return z, (y, mu, r)
+
+
+def _make_adain_unit(relu_input):
+    @jax.custom_vjp
+    def unit(x, w, gamma, beta):
+        z, _ = _adain_unit_fwd_impl(x, w, gamma, beta, relu_input)
+        return z
+
+    def fwd(x, w, gamma, beta):
+        z, (y, mu, r) = _adain_unit_fwd_impl(x, w, gamma, beta, relu_input)
+        return z, (x, w, y, mu, r, gamma)
+
+    def bwd(res, g):
+        x, w, y, mu, r, gamma = res
+        dx, dw, dgm, dbt = conv3x3_adain_bwd(
+            x, w, y, mu, r, gamma, g, relu_input=relu_input)
+        return dx, dw.astype(w.dtype), dgm.astype(gamma.dtype), dbt.astype(
+            gamma.dtype)
+
+    unit.defvjp(fwd, bwd)
+    return unit
+
+
+# z = gamma * IN(conv3x3(x, w)) + beta, Pallas fused backward.
+conv3x3_adain = _make_adain_unit(relu_input=False)
+# z = gamma * IN(conv3x3(relu(x), w)) + beta (resblock conv2 site).
+relu_conv3x3_adain = _make_adain_unit(relu_input=True)
+
+
 @jax.custom_vjp
 def relu_conv3x3(x, w):
     """conv3x3_same(relu(x), w) with the relu backward mask fused into the

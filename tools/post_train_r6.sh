@@ -57,4 +57,5 @@ run bench_train_b8 python bench.py --mode train --train_batch 8 --iters 20
 run bench_train_b8_vjp env MSIG_CONV_VJP=1 python bench.py --mode train --train_batch 8 --iters 20
 run bench_train_b32 python bench.py --mode train --train_batch 32 --iters 10
 run bench_train_b32_vjp env MSIG_CONV_VJP=1 python bench.py --mode train --train_batch 32 --iters 10
+run bench_train_b32_vjp_gram env MSIG_CONV_VJP=1 GRAM_BF16=1 python bench.py --mode train --train_batch 32 --iters 10
 echo done | tee -a "$OUT/summary.txt"
