@@ -625,11 +625,11 @@ def main():
     if args.mode == "latency":
         # Small-batch latency sweep (int8 serving path only). Batches are
         # tiny, so the per-block sync RTT would dominate at the default
-        # iter count — scale iterations up.
+        # iter count — default to 100 iters unless --iters was given.
         batch_sizes = (tuple(int(b) for b in args.batches.split(","))
                        if args.batches else (1, 4, 16))
-        run_inference_worker(batch_sizes=batch_sizes,
-                             iters=max(args.iters, 100),
+        lat_iters = args.iters if args.iters != 40 else 100
+        run_inference_worker(batch_sizes=batch_sizes, iters=lat_iters,
                              image_size=args.image_size, modes=("int8",))
         return
 

@@ -19,10 +19,17 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def _conv_vjp_level() -> int:
+    """MSIG_CONV_VJP routing level (trace-time):
+    0 = off; 1 = supported 3x3 convs get the fused Pallas backward
+    (ops/conv3x3_vjp.py); 2 = additionally fuse the following AdaIN's
+    IN+modulate backward into the same kernel (conv3x3_adain units)."""
+    v = os.environ.get("MSIG_CONV_VJP", "0")
+    return int(v) if v in ("0", "1", "2") else 1
+
+
 def _conv_vjp_enabled() -> bool:
-    """MSIG_CONV_VJP=1 routes supported 3x3 convs through the fused Pallas
-    backward (ops/conv3x3_vjp.py). Checked at trace time."""
-    return os.environ.get("MSIG_CONV_VJP", "0") == "1"
+    return _conv_vjp_level() > 0
 
 
 def _uniform_init(bound: float):
@@ -68,7 +75,13 @@ class TorchConv(nn.Module):
     pre_relu: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, adain_affine=None,
+                 adain_use_pallas: bool = False) -> jax.Array:
+        """``adain_affine=(gamma, beta)``: apply ``gamma*IN(conv(x))+beta``
+        after the conv (AdaIN-followed sites). At MSIG_CONV_VJP=2 supported
+        sites run the whole unit with the fused Pallas backward (the conv
+        bias is skipped there — IN is shift-invariant, so the bias is a
+        mathematical no-op with an exactly-zero gradient)."""
         k = self.kernel_size
         cin = x.shape[-1]
         kernel = self.param(
@@ -82,21 +95,38 @@ class TorchConv(nn.Module):
             pad = ((0, 0), (0, 0))
         dtype = self.dtype or x.dtype
         xc, kc = x.astype(dtype), kernel.astype(dtype)
-        if _conv_vjp_enabled():
+        level = _conv_vjp_level()
+        bound = 1.0 / math.sqrt(k * k * cin)
+        if level:
             from msig_tpu.ops import conv3x3_vjp
 
             if conv3x3_vjp.supported(
                 xc.shape, kernel.shape, self.strides, pad, self.pad_mode
             ):
-                # Fused Pallas backward (dx + dW in one data pass) for the
-                # trunk's 3x3 sites — the train step's dominant backward
-                # slab (ops/conv3x3_vjp.py; opt-in via MSIG_CONV_VJP=1).
+                if adain_affine is not None and level >= 2:
+                    # conv + IN + modulate as ONE custom_vjp unit: the IN
+                    # backward runs inside the Pallas kernel (no XLA dy
+                    # buffer). Bias: param still created (tree parity),
+                    # mathematically absorbed by IN (zero grad).
+                    if self.use_bias:
+                        self.param("bias", _uniform_init(bound), (self.features,))
+                    gamma, beta = adain_affine
+                    unit = (conv3x3_vjp.relu_conv3x3_adain if self.pre_relu
+                            else conv3x3_vjp.conv3x3_adain)
+                    return unit(xc, kc, gamma, beta)
+                # Level 1: fused Pallas backward (dx + dW in one data pass)
+                # for the trunk's 3x3 sites — the train step's dominant
+                # backward slab (ops/conv3x3_vjp.py).
                 y = (conv3x3_vjp.relu_conv3x3(xc, kc) if self.pre_relu
                      else conv3x3_vjp.conv3x3_same(xc, kc))
                 if self.use_bias:
-                    bound = 1.0 / math.sqrt(k * k * cin)
                     bias = self.param("bias", _uniform_init(bound), (self.features,))
                     y = y + bias.astype(y.dtype)
+                if adain_affine is not None:
+                    from msig_tpu.ops.norm import adain_modulate
+
+                    y = adain_modulate(y, *adain_affine,
+                                       use_pallas=adain_use_pallas)
                 return y
         if self.pre_relu:
             xc = jax.nn.relu(xc)
@@ -108,9 +138,12 @@ class TorchConv(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         if self.use_bias:
-            bound = 1.0 / math.sqrt(k * k * cin)
             bias = self.param("bias", _uniform_init(bound), (self.features,))
             y = y + bias.astype(y.dtype)
+        if adain_affine is not None:
+            from msig_tpu.ops.norm import adain_modulate
+
+            y = adain_modulate(y, *adain_affine, use_pallas=adain_use_pallas)
         return y
 
 

@@ -51,11 +51,17 @@ class AdaIN(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, style: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, style: jax.Array,
+                 return_affine: bool = False):
         if style.ndim == 4:  # accept [B, 1, 1, S] like the reference's squeeze
             style = style.reshape(style.shape[0], style.shape[-1])
         params = TorchDense(2 * self.channels, dtype=self.dtype, name="style_mod")(style)
         gamma, beta = jnp.split(params, 2, axis=-1)
+        if return_affine:
+            # (gamma, beta) for a conv module that applies the modulation
+            # itself (TorchConv adain_affine — enables the fused
+            # conv+IN+modulate backward unit). x is unused.
+            return gamma, beta
         return adain_modulate(x, gamma, beta, use_pallas=self.use_pallas)
 
 
@@ -71,13 +77,22 @@ class AdaINResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, style: jax.Array) -> jax.Array:
-        h = TorchConv(self.channels, 3, padding=1, dtype=self.dtype, name="conv1")(x)
-        h = AdaIN(self.channels, self.dtype, self.use_pallas, name="adain1")(h, style)
-        # relu folded into conv2 (pre_relu) so the fused Pallas backward can
-        # absorb the mask into its dx epilogue; identical math either way.
+        # The AdaIN modules provide (gamma, beta); the conv modules apply
+        # the modulation (TorchConv adain_affine). Identical math to
+        # conv -> AdaIN chains, but lets MSIG_CONV_VJP=2 run each
+        # conv+IN+modulate unit with a single fused Pallas backward.
+        # relu is folded into conv2 (pre_relu) so the backward can absorb
+        # the mask into its dx epilogue.
+        g1, b1 = AdaIN(self.channels, self.dtype, self.use_pallas,
+                       name="adain1")(x, style, return_affine=True)
+        g2, b2 = AdaIN(self.channels, self.dtype, self.use_pallas,
+                       name="adain2")(x, style, return_affine=True)
         h = TorchConv(self.channels, 3, padding=1, dtype=self.dtype,
-                      pre_relu=True, name="conv2")(h)
-        h = AdaIN(self.channels, self.dtype, self.use_pallas, name="adain2")(h, style)
+                      name="conv1")(x, adain_affine=(g1, b1),
+                                    adain_use_pallas=self.use_pallas)
+        h = TorchConv(self.channels, 3, padding=1, dtype=self.dtype,
+                      pre_relu=True, name="conv2")(h, adain_affine=(g2, b2),
+                                                   adain_use_pallas=self.use_pallas)
         return h + x
 
 

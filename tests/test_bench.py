@@ -43,6 +43,21 @@ def parse_headline(stdout):
 
 
 @pytest.mark.slow
+def test_latency_mode_emits_ms_headline_and_curve():
+    """--mode latency: int8-only sweep; headline = ms/img at smallest batch
+    + a ms_per_batch curve; survives the same supervisor harness."""
+    r, _ = run_bench({}, args=["--mode", "latency", "--image_size", "64",
+                               "--batches", "1,2", "--iters", "1"])
+    assert r.returncode == 0, r.stderr[-1500:]
+    rec = parse_headline(r.stdout)
+    assert rec["metric"].startswith("latency_ms_per_img_64px_int8_b1")
+    assert rec["unit"] == "ms" and rec["value"] > 0
+    assert {str(k) for k in rec["ms_per_batch"]} == {"1", "2"}
+    # int8-only sweep: bf16 configs must not appear in stderr
+    assert "bf16 batch" not in r.stderr
+
+
+@pytest.mark.slow
 def test_normal_run_emits_headline():
     r, _ = run_bench({})
     assert r.returncode == 0, r.stderr[-2000:]

@@ -93,6 +93,78 @@ class TestConvVjpKernel:
                                    np.asarray(gw_r, np.float32),
                                    atol=0.15, rtol=5e-2)
 
+    @pytest.mark.parametrize("relu", [False, True])
+    def test_adain_unit_grads_match_xla(self, relu):
+        """conv3x3_adain / relu_conv3x3_adain: full-unit backward vs the
+        composed XLA chain (conv -> adain_modulate)."""
+        from msig_tpu.ops.conv3x3_vjp import conv3x3_adain, relu_conv3x3_adain
+        from msig_tpu.ops.norm import adain_modulate
+
+        x = _rand((2, 8, 8, 128), 10)
+        w = _rand((3, 3, 128, 128), 11, 0.05)
+        gm = _rand((2, 128), 12, 0.3)
+        bt = _rand((2, 128), 13, 0.3)
+        unit = relu_conv3x3_adain if relu else conv3x3_adain
+
+        def ref(x, w, g, b):
+            xin = jax.nn.relu(x) if relu else x
+            return adain_modulate(_lax_conv(xin, w), g, b)
+
+        np.testing.assert_allclose(
+            np.asarray(unit(x, w, gm, bt), np.float32),
+            np.asarray(ref(x, w, gm, bt), np.float32), atol=1e-3, rtol=1e-2)
+
+        def loss(f):
+            return lambda *a: jnp.sum(f(*a).astype(jnp.float32) ** 2)
+
+        gp = jax.grad(loss(unit), argnums=(0, 1, 2, 3))(x, w, gm, bt)
+        gr = jax.grad(loss(ref), argnums=(0, 1, 2, 3))(x, w, gm, bt)
+        for name, a, b in zip(("dx", "dw", "dgamma", "dbeta"), gp, gr):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            scale = np.abs(b).max() + 1e-6
+            assert np.abs(a - b).max() / scale < 2e-2, name
+
+    def test_resblock_level2_equivalence(self, monkeypatch):
+        """AdaINResBlock forward/grads agree across routing levels 0/1/2."""
+        from msig_tpu.models.networks import AdaINResBlock
+
+        blk = AdaINResBlock(channels=128, dtype=jnp.bfloat16)
+        x = _rand((2, 8, 8, 128), 14)
+        style = _rand((2, 16), 15)
+        monkeypatch.setenv("MSIG_CONV_VJP", "0")
+        params = blk.init(jax.random.PRNGKey(0), x, style)
+
+        def run():
+            def loss(p, x, s):
+                return jnp.sum(blk.apply(p, x, s).astype(jnp.float32) ** 2)
+
+            v, g = jax.value_and_grad(loss)(params, x, style)
+            return float(v), g
+
+        outs = {}
+        for lvl in ("0", "1", "2"):
+            monkeypatch.setenv("MSIG_CONV_VJP", lvl)
+            outs[lvl] = run()
+        assert outs["0"][0] == outs["1"][0]  # same XLA forward
+        assert abs(outs["0"][0] - outs["2"][0]) / abs(outs["0"][0]) < 1e-2
+        paths0 = jax.tree_util.tree_leaves_with_path(outs["0"][1])
+        for lvl in ("1", "2"):
+            leaves = jax.tree.leaves(outs[lvl][1])
+            for (path, a), b in zip(paths0, leaves):
+                name = jax.tree_util.keystr(path)
+                a = np.asarray(a, np.float32)
+                b = np.asarray(b, np.float32)
+                if "conv" in name and "bias" in name:
+                    # IN absorbs the conv bias: its true gradient is
+                    # exactly 0. Level 2 returns the exact 0; levels 0/1
+                    # return bf16 cancellation noise. Assert both are
+                    # small vs the kernel-grad scale rather than equal.
+                    assert np.abs(b).max() <= np.abs(a).max() + 1e-6, name
+                    continue
+                scale = np.abs(a).max() + 1e-6
+                assert np.abs(a - b).max() / scale < 3e-2, (lvl, name)
+
     def test_supported_domain(self):
         ok = ((2, 64, 64, 256), (3, 3, 256, 256), 1, ((1, 1), (1, 1)), "zeros")
         assert supported(*ok)

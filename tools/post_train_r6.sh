@@ -55,7 +55,9 @@ run trunk_epilogue python tools/bench_trunk_epilogue.py --batch 256
 run conv_vjp_micro python tools/bench_conv_vjp.py --mode micro --batch 32
 run bench_train_b8 python bench.py --mode train --train_batch 8 --iters 20
 run bench_train_b8_vjp env MSIG_CONV_VJP=1 python bench.py --mode train --train_batch 8 --iters 20
+run bench_train_b8_vjp2 env MSIG_CONV_VJP=2 python bench.py --mode train --train_batch 8 --iters 20
 run bench_train_b32 python bench.py --mode train --train_batch 32 --iters 10
 run bench_train_b32_vjp env MSIG_CONV_VJP=1 python bench.py --mode train --train_batch 32 --iters 10
-run bench_train_b32_vjp_gram env MSIG_CONV_VJP=1 GRAM_BF16=1 python bench.py --mode train --train_batch 32 --iters 10
+run bench_train_b32_vjp2 env MSIG_CONV_VJP=2 python bench.py --mode train --train_batch 32 --iters 10
+run bench_train_b32_vjp2_gram env MSIG_CONV_VJP=2 GRAM_BF16=1 python bench.py --mode train --train_batch 32 --iters 10
 echo done | tee -a "$OUT/summary.txt"
