@@ -23,10 +23,17 @@ Math (NHWC, HWIO, stride 1, zero SAME padding):
 Both reductions run as MXU matmuls over zero-padded flattened slabs
 (8 pad columns between rows + 2 guard rows, same trick as the int8 forward
 kernels in ops/fused_conv_int8_v2.py) so the 9 tap shifts become plain row
-offsets and SAME-padding boundary zeros are automatic.
+offsets with automatic SAME-padding boundary zeros. All tap reads are flat
+2-D ref loads (``ref[pl.ds(start, n), :]``) — the access pattern the
+in-repo int8 kernels have proven on Mosaic.
 
-The reference delegates this compute to cuDNN (reference model.py:38-55 ->
-torch autograd); it has no custom backward of its own.
+The ``*_adain`` units additionally fold the FOLLOWING AdaIN's IN+modulate
+backward into the same kernel (the reference's resblock sites,
+model.py:38-55): the incoming cotangent and the saved conv output stay in
+VMEM, and XLA's separate dy buffer + reduction kernels disappear.
+
+The reference delegates all of this to cuDNN/torch-autograd
+(reference model.py:38-55); it has no custom backward of its own.
 """
 
 from __future__ import annotations
@@ -46,6 +53,7 @@ def _interpret() -> bool:
 # Padded geometry: W -> WP = W + 8 zero columns; 2 guard rows top/bottom
 # (tap row-offsets reach +-(WP+1) from any body row).
 _GUARD = 2
+_IN_EPS = 1e-5  # torch nn.InstanceNorm2d default (ops/norm.py)
 
 
 def _geom(h: int, w: int):
@@ -55,18 +63,53 @@ def _geom(h: int, w: int):
     return wp, rows, body0
 
 
-def _bwd_kernel(x_ref, dy_ref, wt_ref, dx_ref, dw_ref, xp_ref, dyp_ref,
-                *, h, w, c, cout, rows_per_chunk, relu_input=False):
-    """One grid step = one image; dw accumulates across the grid.
+def _stage_rows(dst_ref, src_ref, h, w, wp, body0, relu=False):
+    """Image body [1,h,w,c] -> flat padded rows (pads/guards stay zero)."""
+    for r in range(h):
+        row = src_ref[0, r]
+        if relu:
+            row = jnp.maximum(row, jnp.zeros((), src_ref.dtype))
+        dst_ref[pl.ds(body0 + r * wp, w), :] = row
 
-    ``relu_input=True`` treats ``x_ref`` as PRE-relu: the staged slab holds
-    relu(x) (what the conv consumed) and dx gets the relu mask applied in
-    the epilogue — the mask is derived from the already-resident slab, so
-    XLA's separate mask kernel (3 slab round-trips per site) disappears.
-    """
-    b = pl.program_id(0)
+
+def _conv_bwd_core(xp_ref, dyp_ref, wt_ref, dx_ref, dw_ref,
+                   h, w, c, cout, rows_per_chunk, relu_input):
+    """dx + dW from staged padded slabs (shared by both kernel families)."""
     wp, rows, body0 = _geom(h, w)
     n_body = h * wp
+    offs = [(di - 1) * wp + (dj - 1) for di in range(3) for dj in range(3)]
+
+    # dx in row-chunks: 9 taps of [chunk, Cout] @ [Cout, Cin], fp32 accum.
+    for r0 in range(0, h, rows_per_chunk):
+        q0 = body0 + r0 * wp
+        chunk = rows_per_chunk * wp
+        acc = jnp.zeros((chunk, c), jnp.float32)
+        for t, off in enumerate(offs):
+            dy_sl = dyp_ref[pl.ds(q0 - off, chunk), :]
+            acc = acc + jax.lax.dot(
+                dy_sl, wt_ref[t], preferred_element_type=jnp.float32)
+        if relu_input:
+            # relu'(x) mask from the staged slab: relu(x) > 0 <=> x > 0.
+            acc = jnp.where(xp_ref[pl.ds(q0, chunk), :] > 0, acc, 0.0)
+        acc = acc.reshape(rows_per_chunk, wp, c)
+        dx_ref[0, r0:r0 + rows_per_chunk] = (
+            acc[:, :w, :].astype(dx_ref.dtype))
+
+    # dW: 9 taps of [Cin, N] @ [N, Cout] over the whole body at once.
+    dy_b = dyp_ref[pl.ds(body0, n_body), :]
+    for t, off in enumerate(offs):
+        x_sl = xp_ref[pl.ds(body0 + off, n_body), :]
+        part = jax.lax.dot_general(
+            x_sl, dy_b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dw_ref[t] = dw_ref[t] + part
+
+
+def _bwd_kernel(x_ref, dy_ref, wt_ref, dx_ref, dw_ref, xp_ref, dyp_ref,
+                *, h, w, c, cout, rows_per_chunk, relu_input=False):
+    """One grid step = one image; dw accumulates across the grid."""
+    b = pl.program_id(0)
+    wp, rows, body0 = _geom(h, w)
 
     # Zero the padded slabs once; later steps only overwrite body columns.
     @pl.when(b == 0)
@@ -75,47 +118,10 @@ def _bwd_kernel(x_ref, dy_ref, wt_ref, dx_ref, dw_ref, xp_ref, dyp_ref,
         dyp_ref[...] = jnp.zeros_like(dyp_ref)
         dw_ref[...] = jnp.zeros_like(dw_ref)
 
-    # Stage the image body into the padded slabs (strided VMEM store; the
-    # pad columns / guard rows keep their zeros).
-    if relu_input:
-        xp_ref[_GUARD:_GUARD + h, :w, :] = jnp.maximum(
-            x_ref[0], jnp.zeros((), x_ref.dtype))
-    else:
-        xp_ref[_GUARD:_GUARD + h, :w, :] = x_ref[0]
-    dyp_ref[_GUARD:_GUARD + h, :w, :] = dy_ref[0]
-
-    xf = xp_ref[...].reshape(rows, c)
-    dyf = dyp_ref[...].reshape(rows, cout)
-
-    # Tap row-offsets in the flattened padded slab.
-    offs = [(di - 1) * wp + (dj - 1) for di in range(3) for dj in range(3)]
-
-    # dx in row-chunks: 9 taps of [chunk, Cout] @ [Cout, Cin] accumulated
-    # fp32, then stored without the pad columns.
-    for r0 in range(0, h, rows_per_chunk):
-        q0 = body0 + r0 * wp
-        chunk = rows_per_chunk * wp
-        acc = jnp.zeros((chunk, c), jnp.float32)
-        for t, off in enumerate(offs):
-            dy_sl = jax.lax.dynamic_slice(dyf, (q0 - off, 0), (chunk, cout))
-            acc = acc + jax.lax.dot(
-                dy_sl, wt_ref[t], preferred_element_type=jnp.float32)
-        if relu_input:
-            # relu'(x) mask from the staged slab: relu(x) > 0 <=> x > 0.
-            x_sl = jax.lax.dynamic_slice(xf, (q0, 0), (chunk, c))
-            acc = jnp.where(x_sl > 0, acc, 0.0)
-        acc = acc.reshape(rows_per_chunk, wp, c)
-        dx_ref[0, r0:r0 + rows_per_chunk] = (
-            acc[:, :w, :].astype(dx_ref.dtype))
-
-    # dW: 9 taps of [Cin, N] @ [N, Cout] over the whole body at once.
-    dy_b = jax.lax.dynamic_slice(dyf, (body0, 0), (n_body, cout))
-    for t, off in enumerate(offs):
-        x_sl = jax.lax.dynamic_slice(xf, (body0 + off, 0), (n_body, c))
-        part = jax.lax.dot_general(
-            x_sl, dy_b, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dw_ref[t] = dw_ref[t] + part
+    _stage_rows(xp_ref, x_ref, h, w, wp, body0, relu=relu_input)
+    _stage_rows(dyp_ref, dy_ref, h, w, wp, body0)
+    _conv_bwd_core(xp_ref, dyp_ref, wt_ref, dx_ref, dw_ref,
+                   h, w, c, cout, rows_per_chunk, relu_input)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "relu_input"))
@@ -126,6 +132,7 @@ def conv3x3_bwd(x, w, dy, interpret=None, relu_input=False):
     y = conv3x3_same(relu(x), w) with the mask fused (see _bwd_kernel)."""
     b, h, wd, c = x.shape
     cout = w.shape[-1]
+    wp, rows, _ = _geom(h, wd)
     # W_t^T stacked: [9, Cout, Cin]
     wt = jnp.transpose(w.reshape(9, c, cout), (0, 2, 1)).astype(dy.dtype)
 
@@ -147,8 +154,8 @@ def conv3x3_bwd(x, w, dy, interpret=None, relu_input=False):
             jax.ShapeDtypeStruct((9, c, cout), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((h + 2 * _GUARD, wd + 8, c), x.dtype),
-            pltpu.VMEM((h + 2 * _GUARD, wd + 8, cout), dy.dtype),
+            pltpu.VMEM((rows, c), x.dtype),
+            pltpu.VMEM((rows, cout), dy.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -159,7 +166,7 @@ def conv3x3_bwd(x, w, dy, interpret=None, relu_input=False):
 
 
 # ---------------------------------------------------------------------------
-# custom_vjp wrapper: XLA forward (MXU-optimal), Pallas fused backward.
+# custom_vjp wrappers: XLA forward (MXU-optimal), Pallas fused backward.
 # ---------------------------------------------------------------------------
 
 @jax.custom_vjp
@@ -183,17 +190,47 @@ def _bwd(res, dy):
 conv3x3_same.defvjp(_fwd, _bwd)
 
 
+@jax.custom_vjp
+def relu_conv3x3(x, w):
+    """conv3x3_same(relu(x), w) with the relu backward mask fused into the
+    Pallas dx epilogue (resblock conv2 site: AdaINResBlock's relu->conv2,
+    reference model.py:48-51)."""
+    return jax.lax.conv_general_dilated(
+        jax.nn.relu(x), w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _relu_fwd(x, w):
+    return relu_conv3x3(x, w), (x, w)
+
+
+def _relu_bwd(res, dy):
+    x, w = res
+    dx, dw = conv3x3_bwd(x, w, dy, relu_input=True)
+    return dx, dw.astype(w.dtype)
+
+
+relu_conv3x3.defvjp(_relu_fwd, _relu_bwd)
+
+
+# ---------------------------------------------------------------------------
+# conv + IN + modulate units (MSIG_CONV_VJP=2): the AdaIN backward runs
+# inside the same kernel.
+# ---------------------------------------------------------------------------
+
 def _bwd_adain_kernel(x_ref, y_ref, g_ref, wt_ref, mu_ref, r_ref, gm_ref,
                       dx_ref, dw_ref, dg_ref, db_ref, xp_ref, dyp_ref,
                       *, h, w, c, cout, rows_per_chunk, relu_input):
-    """Backward of z = gamma*IN(conv3x3(x or relu(x), w)) + beta, one image
+    """Backward of z = gamma*IN(conv3x3([relu](x), w)) + beta, one image
     per grid step (dw accumulates across the grid).
 
-    The AdaIN/IN backward happens IN VMEM: the incoming cotangent ``g`` and
-    the saved conv output ``y`` never round-trip through an XLA dy buffer.
-        dy = gamma*r * (g - mean(g) - yhat * mean(g*yhat))
-        dgamma = sum(g*yhat), dbeta = sum(g)   (per image, channel)
-    with yhat = (y - mu) * r, stats saved from the forward.
+    The AdaIN/IN backward happens IN VMEM, chunk-wise from the input
+    blocks (the proven int8-kernel access pattern):
+        pass 1: sg = sum(g), sgy = sum(g*yhat) per channel
+        pass 2: dy = gamma*r*(g - sg/N - yhat*sgy/N) staged into the
+                padded conv slab
+    with yhat = (y - mu)*r from stats saved at the forward.
+    ``dgamma = sgy``, ``dbeta = sg`` come out for free.
     """
     b = pl.program_id(0)
     wp, rows, body0 = _geom(h, w)
@@ -205,55 +242,41 @@ def _bwd_adain_kernel(x_ref, y_ref, g_ref, wt_ref, mu_ref, r_ref, gm_ref,
         dyp_ref[...] = jnp.zeros_like(dyp_ref)
         dw_ref[...] = jnp.zeros_like(dw_ref)
 
-    if relu_input:
-        xp_ref[_GUARD:_GUARD + h, :w, :] = jnp.maximum(
-            x_ref[0], jnp.zeros((), x_ref.dtype))
-    else:
-        xp_ref[_GUARD:_GUARD + h, :w, :] = x_ref[0]
+    _stage_rows(xp_ref, x_ref, h, w, wp, body0, relu=relu_input)
 
-    # --- AdaIN backward (fp32, in VMEM) --------------------------------
-    mu = mu_ref[0, 0, :]                      # [C]
+    mu = mu_ref[0, 0, :]
     r = r_ref[0, 0, :]
     gamma = gm_ref[0, 0, :]
-    gf = g_ref[0].astype(jnp.float32).reshape(h * w, cout)
-    yhat = (y_ref[0].astype(jnp.float32).reshape(h * w, cout) - mu) * r
-    sg = jnp.sum(gf, axis=0)                  # [C]
-    sgy = jnp.sum(gf * yhat, axis=0)
-    dg_ref[0, 0, :] = sgy
-    db_ref[0, 0, :] = sg
-    gr = gamma * r
-    dy = gr * (gf - sg / n - yhat * (sgy / n))
-    dyp_ref[_GUARD:_GUARD + h, :w, :] = dy.reshape(h, w, cout).astype(
-        dyp_ref.dtype)
 
-    # --- conv backward (same machinery as _bwd_kernel) -----------------
-    xf = xp_ref[...].reshape(rows, c)
-    dyf = dyp_ref[...].reshape(rows, cout)
-    offs = [(di - 1) * wp + (dj - 1) for di in range(3) for dj in range(3)]
-
+    # pass 1: per-channel reductions, row-chunk at a time
+    sg = jnp.zeros((1, cout), jnp.float32)
+    sgy = jnp.zeros((1, cout), jnp.float32)
     for r0 in range(0, h, rows_per_chunk):
-        q0 = body0 + r0 * wp
-        chunk = rows_per_chunk * wp
-        acc = jnp.zeros((chunk, c), jnp.float32)
-        for t, off in enumerate(offs):
-            dy_sl = jax.lax.dynamic_slice(dyf, (q0 - off, 0), (chunk, cout))
-            acc = acc + jax.lax.dot(
-                dy_sl, wt_ref[t], preferred_element_type=jnp.float32)
-        if relu_input:
-            x_sl = jax.lax.dynamic_slice(xf, (q0, 0), (chunk, c))
-            acc = jnp.where(x_sl > 0, acc, 0.0)
-        acc = acc.reshape(rows_per_chunk, wp, c)
-        dx_ref[0, r0:r0 + rows_per_chunk] = (
-            acc[:, :w, :].astype(dx_ref.dtype))
+        gf = g_ref[0, r0:r0 + rows_per_chunk].astype(jnp.float32).reshape(
+            rows_per_chunk * w, cout)
+        yh = (y_ref[0, r0:r0 + rows_per_chunk].astype(jnp.float32).reshape(
+            rows_per_chunk * w, cout) - mu) * r
+        sg = sg + jnp.sum(gf, axis=0, keepdims=True)
+        sgy = sgy + jnp.sum(gf * yh, axis=0, keepdims=True)
+    dg_ref[0, 0, :] = sgy[0]
+    db_ref[0, 0, :] = sg[0]
 
-    n_body = h * wp
-    dy_b = jax.lax.dynamic_slice(dyf, (body0, 0), (n_body, cout))
-    for t, off in enumerate(offs):
-        x_sl = jax.lax.dynamic_slice(xf, (body0 + off, 0), (n_body, c))
-        part = jax.lax.dot_general(
-            x_sl, dy_b, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dw_ref[t] = dw_ref[t] + part
+    # pass 2: dy chunks staged into the padded slab
+    gr = gamma * r
+    mg = sg / n
+    mgy = sgy / n
+    for r0 in range(0, h, rows_per_chunk):
+        gf = g_ref[0, r0:r0 + rows_per_chunk].astype(jnp.float32).reshape(
+            rows_per_chunk * w, cout)
+        yh = (y_ref[0, r0:r0 + rows_per_chunk].astype(jnp.float32).reshape(
+            rows_per_chunk * w, cout) - mu) * r
+        dy = (gr * (gf - mg - yh * mgy)).astype(dyp_ref.dtype).reshape(
+            rows_per_chunk, w, cout)
+        for rr in range(rows_per_chunk):
+            dyp_ref[pl.ds(body0 + (r0 + rr) * wp, w), :] = dy[rr]
+
+    _conv_bwd_core(xp_ref, dyp_ref, wt_ref, dx_ref, dw_ref,
+                   h, w, c, cout, rows_per_chunk, relu_input)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "relu_input"))
@@ -262,9 +285,10 @@ def conv3x3_adain_bwd(x, w, y, mu, r, gamma, g, interpret=None,
     """(dx, dw, dgamma, dbeta) for z = gamma*IN(conv3x3([relu](x), w)) + beta.
 
     ``y`` is the saved conv output; ``mu``/``r`` its per-(B,C) IN mean and
-    rsqrt(var+eps); ``g`` the cotangent of z (any float dtype)."""
+    rsqrt(var+eps); ``g`` the cotangent of z."""
     b, h, wd, c = x.shape
     cout = w.shape[-1]
+    wp, rows, _ = _geom(h, wd)
     wt = jnp.transpose(w.reshape(9, c, cout), (0, 2, 1)).astype(x.dtype)
     mu3 = mu.reshape(b, 1, cout).astype(jnp.float32)
     r3 = r.reshape(b, 1, cout).astype(jnp.float32)
@@ -296,8 +320,8 @@ def conv3x3_adain_bwd(x, w, y, mu, r, gamma, g, interpret=None,
             jax.ShapeDtypeStruct((b, 1, cout), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((h + 2 * _GUARD, wd + 8, c), x.dtype),
-            pltpu.VMEM((h + 2 * _GUARD, wd + 8, cout), x.dtype),
+            pltpu.VMEM((rows, c), x.dtype),
+            pltpu.VMEM((rows, cout), x.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -306,9 +330,6 @@ def conv3x3_adain_bwd(x, w, y, mu, r, gamma, g, interpret=None,
 
     return (dx, dw.reshape(3, 3, c, cout),
             dgm.reshape(b, cout), dbt.reshape(b, cout))
-
-
-_IN_EPS = 1e-5  # torch nn.InstanceNorm2d default (ops/norm.py)
 
 
 def _adain_unit_fwd_impl(x, w, gamma, beta, relu_input):
@@ -352,29 +373,6 @@ def _make_adain_unit(relu_input):
 conv3x3_adain = _make_adain_unit(relu_input=False)
 # z = gamma * IN(conv3x3(relu(x), w)) + beta (resblock conv2 site).
 relu_conv3x3_adain = _make_adain_unit(relu_input=True)
-
-
-@jax.custom_vjp
-def relu_conv3x3(x, w):
-    """conv3x3_same(relu(x), w) with the relu backward mask fused into the
-    Pallas dx epilogue (resblock conv2 site: AdaINResBlock's relu->conv2,
-    reference model.py:48-51)."""
-    return jax.lax.conv_general_dilated(
-        jax.nn.relu(x), w, (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-
-
-def _relu_fwd(x, w):
-    return relu_conv3x3(x, w), (x, w)
-
-
-def _relu_bwd(res, dy):
-    x, w = res
-    dx, dw = conv3x3_bwd(x, w, dy, relu_input=True)
-    return dx, dw.astype(w.dtype)
-
-
-relu_conv3x3.defvjp(_relu_fwd, _relu_bwd)
 
 
 def supported(x_shape, kernel_shape, strides, padding, pad_mode) -> bool:
