@@ -42,12 +42,10 @@ T=5400 run trajectory python tools/eval_trajectory_batch.py \
 mkdir -p results/tomato_r6/demo_checkpoint
 cp results/tomato_r6/ema_snapshots/epoch_800/* results/tomato_r6/demo_checkpoint/ 2>/dev/null
 
-# 2. Directive #1: fused conv backward.
+# 2. Directive #1: fused conv backward (the "Done =" rows).
 run conv_vjp_micro python tools/bench_conv_vjp.py --mode micro --batch 32
 run bench_train_b32_vjp2 env MSIG_CONV_VJP=2 python bench.py --mode train --train_batch 32 --iters 10
 run bench_train_b8_vjp2 env MSIG_CONV_VJP=2 python bench.py --mode train --train_batch 8 --iters 20
-run bench_train_b32_vjp1 env MSIG_CONV_VJP=1 python bench.py --mode train --train_batch 32 --iters 10
-run bench_train_b32_vjp2_gram env MSIG_CONV_VJP=2 GRAM_BF16=1 python bench.py --mode train --train_batch 32 --iters 10
 
 # 3. Directive #2: error-plane residual carry.
 run bench_256_hifi2 env MSIG_TRUNK_HIFI=2 python bench.py
@@ -63,7 +61,11 @@ run trunk_epilogue python tools/bench_trunk_epilogue.py --batch 256
 # 6. Directive #7: latency curve.
 run bench_latency python bench.py --mode latency
 
-# 7. Headline last (also warms the driver's bench compile cache).
+# 7. Secondary train-step rows (level attribution + the gram lever).
+run bench_train_b32_vjp1 env MSIG_CONV_VJP=1 python bench.py --mode train --train_batch 32 --iters 10
+run bench_train_b32_vjp2_gram env MSIG_CONV_VJP=2 GRAM_BF16=1 python bench.py --mode train --train_batch 32 --iters 10
+
+# 8. Headline last (also warms the driver's bench compile cache).
 run bench_256 python bench.py
 run bench_512 python bench.py --image_size 512
 echo done | tee -a "$OUT/summary.txt"
