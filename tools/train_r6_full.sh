@@ -8,8 +8,10 @@
 # reset (results/ is gitignored). This relaunch regenerates the FULL
 # quality trajectory with a denser, cheaper artifact cadence:
 #
-#   - full Orbax checkpoint every 200 epochs (4 x ~175 s tunneled fetch)
-#     -> watchdog resume safety;
+#   - full Orbax checkpoint every 50 epochs (~31 s each on this link —
+#     measured, not the feared 175 s) -> watchdog resume loses <=50 epochs
+#     per tunnel stall (a 22:04 UTC stall cost 59 epochs under the original
+#     every-200 cadence);
 #   - portable fp16 EMA snapshot every 50 epochs (16 x ~17 s) -> the
 #     16-checkpoint quality trajectory (VERDICT r4 directive #4) is
 #     evaluated from these after the run (inference-loadable layout 3).
@@ -31,5 +33,5 @@ python main.py \
   "${RESUME_ARGS[@]+"${RESUME_ARGS[@]}"}" \
   --allow_random_vgg --compute_dtype bfloat16 --image_size 256 \
   --batch_size 8 --epochs "$EPOCHS" --save_freq 125 --device_data \
-  --checkpoint_every 200 --ema_snapshot_every 50 \
+  --checkpoint_every 50 --ema_snapshot_every 50 \
   --no_data_parallel --seed 0
