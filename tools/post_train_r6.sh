@@ -33,8 +33,9 @@ TRAIN_LOG=${TRAIN_LOG:-/tmp/train_r6.log}
 grep -o "epoch [0-9]*/[0-9]*.*" "$TRAIN_LOG" > results/tomato_r6/per_epoch_log.txt 2>/dev/null
 cp "$TRAIN_LOG" "$OUT/train_r6_raw.log" 2>/dev/null
 
-# 1. Directive #4: the full trajectory from the fp16 EMA snapshots.
-T=5400 run trajectory python tools/eval_trajectory_batch.py \
+# 1. Directive #4: the full trajectory from the fp16 EMA snapshots
+#    (in-memory evaluator: ~20 s/checkpoint on the chip).
+T=3600 run trajectory python tools/eval_trajectory_fast.py \
     --snap_root results/tomato_r6/ema_snapshots \
     --out docs/quality_r6/trajectory --n_images 50
 
