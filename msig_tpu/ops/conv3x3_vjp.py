@@ -64,11 +64,15 @@ def _geom(h: int, w: int):
 
 
 def _stage_rows(dst_ref, src_ref, h, w, wp, body0, relu=False):
-    """Image body [1,h,w,c] -> flat padded rows (pads/guards stay zero)."""
+    """Image body [1,h,w,c] -> flat padded rows (pads/guards stay zero).
+
+    The relu runs through an f32 round trip: Mosaic on this target rejects
+    bf16 comparisons/maximum ("Target does not support this comparison")."""
     for r in range(h):
         row = src_ref[0, r]
         if relu:
-            row = jnp.maximum(row, jnp.zeros((), src_ref.dtype))
+            rf = row.astype(jnp.float32)
+            row = jnp.maximum(rf, 0.0).astype(src_ref.dtype)
         dst_ref[pl.ds(body0 + r * wp, w), :] = row
 
 
@@ -89,8 +93,10 @@ def _conv_bwd_core(xp_ref, dyp_ref, wt_ref, dx_ref, dw_ref,
             acc = acc + jax.lax.dot(
                 dy_sl, wt_ref[t], preferred_element_type=jnp.float32)
         if relu_input:
-            # relu'(x) mask from the staged slab: relu(x) > 0 <=> x > 0.
-            acc = jnp.where(xp_ref[pl.ds(q0, chunk), :] > 0, acc, 0.0)
+            # relu'(x) mask from the staged slab: relu(x) > 0 <=> x > 0
+            # (f32 compare — bf16 comparisons don't lower on this target).
+            mask = xp_ref[pl.ds(q0, chunk), :].astype(jnp.float32) > 0.0
+            acc = jnp.where(mask, acc, 0.0)
         acc = acc.reshape(rows_per_chunk, wp, c)
         dx_ref[0, r0:r0 + rows_per_chunk] = (
             acc[:, :w, :].astype(dx_ref.dtype))
