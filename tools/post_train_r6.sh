@@ -39,9 +39,13 @@ T=3600 run trajectory python tools/eval_trajectory_fast.py \
     --snap_root results/tomato_r6/ema_snapshots \
     --out docs/quality_r6/trajectory --n_images 50
 
-# epoch-800 portable demo artifact = the final snapshot, verbatim
-mkdir -p results/tomato_r6/demo_checkpoint
-cp results/tomato_r6/ema_snapshots/epoch_800/* results/tomato_r6/demo_checkpoint/ 2>/dev/null
+# portable demo artifact = the NEWEST snapshot, verbatim
+LAST_SNAP=$(ls -d results/tomato_r6/ema_snapshots/epoch_* 2>/dev/null | sort -V | tail -1)
+if [ -n "$LAST_SNAP" ]; then
+  mkdir -p results/tomato_r6/demo_checkpoint
+  cp "$LAST_SNAP"/* results/tomato_r6/demo_checkpoint/ 2>/dev/null
+  echo "demo_checkpoint <- $LAST_SNAP" | tee -a "$OUT/summary.txt"
+fi
 
 # 2. Directive #1: fused conv backward (the "Done =" rows).
 run conv_vjp_micro python tools/bench_conv_vjp.py --mode micro --batch 32
