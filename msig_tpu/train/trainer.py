@@ -50,6 +50,14 @@ from msig_tpu.utils import plot_losses, plot_weight_history, save_sample_grid
 
 logger = logging.getLogger(__name__)
 
+
+def _skip_epoch_art() -> bool:
+    """MSIG_SKIP_EPOCH_ART=1: skip the per-epoch sample grid + loss/weight
+    plots. On a degraded tunneled link the grid's device fetch costs
+    seconds per epoch; loss history still accumulates (and checkpoints),
+    so the plots can be regenerated afterwards."""
+    return os.environ.get("MSIG_SKIP_EPOCH_ART", "0") == "1"
+
 METRIC_KEYS = ["D_loss", "G_loss"] + WEIGHT_KEYS
 
 
@@ -358,7 +366,7 @@ class Trainer:
 
                         logs.update(to_wandb(hists))
                     self.wandb.log(logs)
-                if i % cfg.save_freq == 0:
+                if i % cfg.save_freq == 0 and not _skip_epoch_art():
                     self._save_grid(batch, epoch, i)
 
             # One device->host transfer for the whole epoch's metrics
@@ -383,10 +391,12 @@ class Trainer:
                 logs.update({f"weight/{k}": weights[k] for k in WEIGHT_KEYS})
                 self.wandb.log(logs)
 
-            plot_losses(self.loss_history, os.path.join(self.save_dir, "losses.png"))
-            plot_weight_history(
-                self.weight_history, os.path.join(self.save_dir, "weight_history.png")
-            )
+            if not _skip_epoch_art():
+                plot_losses(self.loss_history, os.path.join(self.save_dir, "losses.png"))
+                plot_weight_history(
+                    self.weight_history,
+                    os.path.join(self.save_dir, "weight_history.png"),
+                )
 
             if (epoch + 1) % cfg.checkpoint_every == 0 or (epoch + 1) == cfg.epochs:
                 self.save(os.path.join(self.checkpoints_dir, f"epoch_{epoch + 1}"))
